@@ -1,0 +1,278 @@
+"""LoRA as a pure parameter pytree + functional combinators.
+
+The reference mutates torch nn.Module trees in place
+(inject/monkeypatch/collapse: lora.py:255-886).  Here a LoRA is data:
+
+    lora = {
+        "sites": {site_name: {"up": (out, r), "down": (r, in)}   # linear
+                              or {"up": (out, r, 1, 1),
+                                  "down": (r, in, kh, kw)}},     # conv
+        "scale": f32 scalar,          # tune_lora_scale knob (traced: no
+                                      # recompile on alpha sweeps)
+    }
+
+plus optional per-site "diag" (r,) — the reference's selector
+(set_lora_diag / LoRAManager.tune, lora.py:63-70,883-886).
+
+"Injection" is just passing this tree to a model's forward; "removal" is
+passing None; merge/join/collapse are the pure functions below.  Weight
+layout matches torch Linear/Conv2d (out,in[,kh,kw]) so serialization is
+byte-identical to the reference format.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sites import Site
+
+Pair = Tuple[np.ndarray, np.ndarray]
+LoraTree = Dict[str, object]
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+def init_lora(
+    sites: Sequence[Site],
+    r: int = 4,
+    *,
+    rng: jax.Array,
+    scale: float = 1.0,
+    dtype=jnp.float32,
+) -> LoraTree:
+    """Fresh trainable LoRA: down ~ N(0, 1/r), up = 0 (reference init,
+    lora.py:50-51,127-128) so the forward pass is initially unchanged."""
+    site_params = {}
+    keys = jax.random.split(rng, max(len(sites), 1))
+    for site, key in zip(sites, keys):
+        if r > min(site.in_dim, site.out_dim):
+            raise ValueError(
+                f"LoRA rank {r} must be less or equal than "
+                f"{min(site.in_dim, site.out_dim)} at {site.name}"
+            )
+        if site.kind == "linear":
+            down = jax.random.normal(key, (r, site.in_dim), dtype) * (1.0 / r)
+            up = jnp.zeros((site.out_dim, r), dtype)
+        else:
+            kh, kw = site.kernel
+            down = jax.random.normal(key, (r, site.in_dim, kh, kw), dtype) * (1.0 / r)
+            up = jnp.zeros((site.out_dim, r, 1, 1), dtype)
+        site_params[site.name] = {"up": up, "down": down}
+    return {"sites": site_params, "scale": jnp.asarray(scale, jnp.float32)}
+
+
+def lora_from_pairs(
+    pairs: Sequence[Pair],
+    sites: Sequence[Site],
+    scale: float = 1.0,
+    dtype=jnp.float32,
+) -> LoraTree:
+    """Build a LoRA tree from an ordered [(up, down), ...] list (the on-disk
+    order). Conv tensors are detected by ndim, mirroring the reference's
+    shape dispatch (lora.py:731,756)."""
+    if len(pairs) != len(sites):
+        raise ValueError(f"got {len(pairs)} pairs for {len(sites)} sites")
+    site_params = {}
+    for site, (up, down) in zip(sites, pairs):
+        up = jnp.asarray(np.asarray(up), dtype)
+        down = jnp.asarray(np.asarray(down), dtype)
+        want_nd = 2 if site.kind == "linear" else 4
+        if up.ndim != want_nd or down.ndim != want_nd:
+            raise ValueError(
+                f"site {site.name} expects {want_nd}-D tensors, got "
+                f"up{up.shape} down{down.shape}"
+            )
+        site_params[site.name] = {"up": up, "down": down}
+    return {"sites": site_params, "scale": jnp.asarray(scale, jnp.float32)}
+
+
+def lora_from_flat(
+    weights: Sequence[np.ndarray], sites: Sequence[Site], scale: float = 1.0,
+    dtype=jnp.float32,
+) -> LoraTree:
+    from ..formats.safetensors_io import pairs_from_flat
+
+    return lora_from_pairs(pairs_from_flat(list(weights)), sites, scale, dtype)
+
+
+def lora_to_pairs(lora: LoraTree, sites: Sequence[Site]) -> List[Pair]:
+    """Realize as save-order pairs; up is pre-multiplied by the runtime scale
+    (reference realize_as_lora, lora.py:60-61 — the selector diag is NOT
+    folded in, matching the reference)."""
+    scale = np.asarray(lora["scale"], np.float32)
+    out: List[Pair] = []
+    for site in sites:
+        entry = lora["sites"][site.name]
+        out.append(
+            (np.asarray(entry["up"], np.float32) * scale,
+             np.asarray(entry["down"], np.float32))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# combinators
+# ---------------------------------------------------------------------------
+
+def tune_lora_scale(lora: LoraTree, alpha: float) -> LoraTree:
+    """Reference tune_lora_scale (lora.py:877-880), functionally."""
+    return {**lora, "scale": jnp.asarray(alpha, jnp.float32)}
+
+
+def set_lora_diag(lora: LoraTree, diag) -> LoraTree:
+    """Install a per-rank diagonal selector on every site
+    (reference set_lora_diag, lora.py:883-886)."""
+    diag = jnp.asarray(diag, jnp.float32)
+    sites = {
+        name: {**entry, "diag": diag} for name, entry in lora["sites"].items()
+    }
+    return {**lora, "sites": sites}
+
+
+def merge_loras(l1: LoraTree, l2: LoraTree, alpha_1: float, alpha_2: float) -> LoraTree:
+    """Per-tensor weighted sum — `lora_add --mode=lpl`
+    (cli_lora_add.py:39-107)."""
+    if set(l1["sites"]) != set(l2["sites"]):
+        raise ValueError("merge requires identical site sets")
+    sites = {}
+    for name in l1["sites"]:
+        a, b = l1["sites"][name], l2["sites"][name]
+        if a["up"].shape != b["up"].shape or a["down"].shape != b["down"].shape:
+            raise ValueError(f"shape mismatch at {name}")
+        sites[name] = {
+            "up": alpha_1 * a["up"] + alpha_2 * b["up"],
+            "down": alpha_1 * a["down"] + alpha_2 * b["down"],
+        }
+    return {"sites": sites, "scale": jnp.asarray(1.0, jnp.float32)}
+
+
+def add_lora(lora: LoraTree, incoming: LoraTree, alpha: float = 1.0,
+             beta: float = 1.0) -> LoraTree:
+    """up/down <- alpha*incoming + beta*existing — the dynamic-mixing
+    primitive (reference monkeypatch_add_lora, lora.py:850-874)."""
+    sites = {}
+    for name, entry in lora["sites"].items():
+        inc = incoming["sites"][name]
+        sites[name] = {
+            "up": alpha * inc["up"] + beta * entry["up"],
+            "down": alpha * inc["down"] + beta * entry["down"],
+        }
+    return {**lora, "sites": sites}
+
+
+def join_loras(loras: Sequence[LoraTree]) -> Tuple[LoraTree, List[int]]:
+    """Concatenate N LoRAs into one of rank sum(r_i): down stacked on the
+    rank axis 0, up on axis 1 (reference lora_join, lora_manager.py:44-55).
+    Returns (joined, ranklist) for block-diagonal selector tuning."""
+    names = set(loras[0]["sites"])
+    for l in loras[1:]:
+        if set(l["sites"]) != names:
+            raise ValueError("join requires identical site sets")
+    ranklist = []
+    for l in loras:
+        ranks = {e["down"].shape[0] for e in l["sites"].values()}
+        if len(ranks) > 1:
+            raise ValueError("Rank should be the same per model")
+        ranklist.append(ranks.pop() if ranks else 0)
+    sites = {}
+    for name in loras[0]["sites"]:
+        ups = [l["sites"][name]["up"] for l in loras]
+        downs = [l["sites"][name]["down"] for l in loras]
+        sites[name] = {
+            "up": jnp.concatenate(ups, axis=1),
+            "down": jnp.concatenate(downs, axis=0),
+        }
+    return {"sites": sites, "scale": jnp.asarray(1.0, jnp.float32)}, ranklist
+
+
+def collapse_lora(params: Dict[str, jax.Array], lora: LoraTree,
+                  alpha: float = 1.0) -> Dict[str, jax.Array]:
+    """Fold the LoRA into the base weights: W += alpha * up @ down (conv
+    kernels flattened to 2-D, matching lora.py:635-669; the runtime scale
+    and selector are intentionally NOT applied, as in the reference).
+    Returns a new params dict."""
+    out = dict(params)
+    for name, entry in lora["sites"].items():
+        key = name + ".weight"
+        w = out[key]
+        up = jnp.asarray(entry["up"], jnp.float32)
+        down = jnp.asarray(entry["down"], jnp.float32)
+        delta = (up.reshape(up.shape[0], -1) @ down.reshape(down.shape[0], -1))
+        out[key] = (w.astype(jnp.float32) + alpha * delta.reshape(w.shape)).astype(
+            w.dtype
+        )
+    return out
+
+
+def lora_ranks(lora: LoraTree, sites: Sequence[Site]) -> List[int]:
+    return [int(lora["sites"][s.name]["down"].shape[0]) for s in sites]
+
+
+def inspect_lora(lora: LoraTree) -> Dict[str, List[float]]:
+    """Per-site mean |up @ down| drift diagnostic (lora.py:1025-1042)."""
+    moved: Dict[str, List[float]] = {}
+    for name, entry in lora["sites"].items():
+        up = np.asarray(entry["up"], np.float32).reshape(entry["up"].shape[0], -1)
+        down = np.asarray(entry["down"], np.float32).reshape(
+            entry["down"].shape[0], -1
+        )
+        moved[name] = [float(np.abs(up @ down).mean())]
+    return moved
+
+
+# ---------------------------------------------------------------------------
+# forward-pass application
+# ---------------------------------------------------------------------------
+
+def _maybe_diag(h: jax.Array, entry: dict) -> jax.Array:
+    diag = entry.get("diag")
+    if diag is None:
+        return h
+    return h * diag.astype(h.dtype)
+
+
+def lora_delta_dense(x: jax.Array, entry: dict, scale: jax.Array,
+                     dropout_rng: Optional[jax.Array] = None,
+                     dropout_p: float = 0.0) -> jax.Array:
+    """scale * up(selector(down(x))) for a linear site. x: (..., in)."""
+    dt = x.dtype
+    down = entry["down"].astype(dt)
+    up = entry["up"].astype(dt)
+    h = x @ down.T
+    h = _maybe_diag(h, entry)
+    d = h @ up.T
+    if dropout_rng is not None and dropout_p > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, d.shape)
+        d = jnp.where(keep, d / (1.0 - dropout_p), 0.0).astype(dt)
+    return d * scale.astype(dt)
+
+
+def lora_delta_conv(x: jax.Array, entry: dict, scale: jax.Array,
+                    stride: Tuple[int, int], padding: Tuple[int, int],
+                    dropout_rng: Optional[jax.Array] = None,
+                    dropout_p: float = 0.0) -> jax.Array:
+    """Conv LoRA bypass: down conv (original geometry) then 1x1 up conv
+    (lora.py:105-135). x: NHWC; kernels stored OIHW."""
+    dt = x.dtype
+    down = entry["down"].astype(dt)
+    up = entry["up"].astype(dt)
+    dn = jax.lax.conv_general_dilated(
+        x, down, window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    dn = _maybe_diag(dn, entry)
+    d = jax.lax.conv_general_dilated(
+        dn, up, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    if dropout_rng is not None and dropout_p > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, d.shape)
+        d = jnp.where(keep, d / (1.0 - dropout_p), 0.0).astype(dt)
+    return d * scale.astype(dt)

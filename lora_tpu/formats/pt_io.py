@@ -1,0 +1,84 @@
+"""Legacy torch ``.pt`` interop (flat interleaved [up0, down0, ...] lists and
+TI embed dicts). torch (CPU) is used strictly at the file boundary; nothing
+in the compute path touches it.
+
+Reference formats: save_lora_weight (lora.py:424-436) writes a flat list of
+fp16 CPU tensors; TI saves a {token: tensor} dict (lora.py:1058-1070).
+Path conventions _text_lora_path / _ti_lora_path: lora.py:889-896.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Pair = Tuple[np.ndarray, np.ndarray]
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def text_lora_path(path: str) -> str:
+    assert path.endswith(".pt"), "Only .pt files are supported"
+    return ".".join(path.split(".")[:-1] + ["text_encoder", "pt"])
+
+
+def ti_lora_path(path: str) -> str:
+    assert path.endswith(".pt"), "Only .pt files are supported"
+    return ".".join(path.split(".")[:-1] + ["ti", "pt"])
+
+
+def save_lora_pt(pairs: Sequence[Pair], path: str) -> None:
+    """Write the reference's flat interleaved fp16 list."""
+    torch = _torch()
+    weights = []
+    for up, down in pairs:
+        weights.append(torch.from_numpy(np.asarray(up, dtype=np.float16)))
+        weights.append(torch.from_numpy(np.asarray(down, dtype=np.float16)))
+    torch.save(weights, path)
+
+
+def load_lora_pt(path: str) -> List[np.ndarray]:
+    """Read a flat [up0, down0, ...] list to float32 numpy."""
+    torch = _torch()
+    weights = torch.load(path, map_location="cpu", weights_only=False)
+    return [w.detach().float().numpy() for w in weights]
+
+
+def save_ti_pt(embeds: Dict[str, np.ndarray], path: str) -> None:
+    torch = _torch()
+    torch.save(
+        {tok: torch.from_numpy(np.asarray(v, dtype=np.float32)) for tok, v in embeds.items()},
+        path,
+    )
+
+
+def load_ti_pt(path: str) -> Dict[str, np.ndarray]:
+    torch = _torch()
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    return {tok: v.detach().float().numpy() for tok, v in d.items()}
+
+
+def save_a1111_embedding(
+    token: str, embed: np.ndarray, path: str, name: str = "embed"
+) -> None:
+    """A1111-style textual embedding .pt (reference cli_lora_add.py:141-166):
+    {"string_to_token": {"*": 265}, "string_to_param": {"*": tensor[1, dim]}}.
+    """
+    torch = _torch()
+    t = torch.from_numpy(np.asarray(embed, dtype=np.float32)).unsqueeze(0)
+    torch.save(
+        {
+            "string_to_token": {"*": 265},
+            "string_to_param": {"*": t},
+            "name": name,
+            "step": 0,
+            "sd_checkpoint": "custom",
+            "sd_checkpoint_name": "custom",
+        },
+        path,
+    )
