@@ -1,0 +1,121 @@
+"""CLIP ViT-L/14 text encoder, functional JAX.
+
+Replaces the reference's `transformers.CLIPTextModel` dependency
+(cli_lora_pti.py:58-68).  Pre-LN transformer with causal mask and
+quick-GELU, final LayerNorm; param names match the HF state_dict
+("text_model.encoder.layers.{i}.self_attn.k_proj.weight", ...) so import
+is an identity mapping.
+
+Textual inversion uses a fixed-size extra-embedding buffer instead of the
+reference's `resize_token_embeddings` (lora.py:937) — mutable vocabulary
+doesn't exist under jit; rows are scattered over the base table at forward
+time and the buffer is the trainable leaf.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from .config import CLIPTextConfig
+from .layers import dense, layer_norm, quick_gelu
+
+Params = Dict[str, jax.Array]
+
+
+def init_clip_text(cfg: CLIPTextConfig, rng: jax.Array,
+                   dtype=jnp.float32) -> Params:
+    """Random-init params (pretrained weights come from hf_import)."""
+    d, ff, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    keys = iter(jax.random.split(rng, 4 + L * 6))
+    p: Params = {}
+
+    def lin(name, i, o, std=0.02):
+        p[name + ".weight"] = (jax.random.normal(next(keys), (o, i)) * std).astype(dtype)
+        p[name + ".bias"] = jnp.zeros((o,), dtype)
+
+    def ln(name):
+        p[name + ".weight"] = jnp.ones((d,), dtype)
+        p[name + ".bias"] = jnp.zeros((d,), dtype)
+
+    p["text_model.embeddings.token_embedding.weight"] = (
+        jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02
+    ).astype(dtype)
+    p["text_model.embeddings.position_embedding.weight"] = (
+        jax.random.normal(next(keys), (cfg.max_position_embeddings, d)) * 0.01
+    ).astype(dtype)
+    for i in range(L):
+        base = f"text_model.encoder.layers.{i}"
+        ln(base + ".layer_norm1")
+        for proj in ("k_proj", "v_proj", "q_proj", "out_proj"):
+            lin(f"{base}.self_attn.{proj}", d, d)
+        ln(base + ".layer_norm2")
+        lin(base + ".mlp.fc1", d, ff)
+        lin(base + ".mlp.fc2", ff, d)
+    ln("text_model.final_layer_norm")
+    return p
+
+
+def apply_ti(
+    params: Params,
+    ti_embeds: Optional[jax.Array],
+    ti_ids: Optional[jax.Array],
+) -> jax.Array:
+    """Return the token-embedding table with TI rows written in.
+
+    ti_embeds: (K, D) trainable buffer; ti_ids: (K,) int32 token ids
+    (inactive slots should carry id 0 with embeds equal to row 0, or be
+    masked by the caller). Differentiable w.r.t. ti_embeds."""
+    table = params["text_model.embeddings.token_embedding.weight"]
+    if ti_embeds is None:
+        return table
+    return table.at[ti_ids].set(ti_embeds.astype(table.dtype))
+
+
+def clip_text_forward(
+    params: Params,
+    input_ids: jax.Array,  # (B, T) int32
+    cfg: CLIPTextConfig,
+    lora=None,
+    ti_embeds: Optional[jax.Array] = None,
+    ti_ids: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Returns last_hidden_state (B, T, D) after the final LayerNorm —
+    exactly what SD's conditioning consumes (text_encoder(ids)[0])."""
+    B, T = input_ids.shape
+    d = cfg.hidden_size
+    h = cfg.num_attention_heads
+    dh = d // h
+
+    table = apply_ti(params, ti_embeds, ti_ids)
+    pos = params["text_model.embeddings.position_embedding.weight"][:T]
+    x = (table[input_ids] + pos[None]).astype(dtype)
+
+    def heads(y):  # (B, T, D) -> (B, h, T, dh)
+        return y.reshape(B, T, h, dh).transpose(0, 2, 1, 3)
+
+    def unheads(y):
+        return y.transpose(0, 2, 1, 3).reshape(B, T, d)
+
+    for i in range(cfg.num_hidden_layers):
+        base = f"text_model.encoder.layers.{i}"
+        res = x
+        y = layer_norm(params, base + ".layer_norm1", x, cfg.layer_norm_eps)
+        sa = base + ".self_attn"
+        q = heads(dense(params, sa + ".q_proj", y, lora))
+        k = heads(dense(params, sa + ".k_proj", y, lora))
+        v = heads(dense(params, sa + ".v_proj", y, lora))
+        att = unheads(attention(q, k, v, causal=True))
+        x = res + dense(params, sa + ".out_proj", att, lora)
+
+        res = x
+        y = layer_norm(params, base + ".layer_norm2", x, cfg.layer_norm_eps)
+        y = quick_gelu(dense(params, base + ".mlp.fc1", y, lora))
+        x = res + dense(params, base + ".mlp.fc2", y, lora)
+
+    return layer_norm(params, "text_model.final_layer_norm", x,
+                      cfg.layer_norm_eps)

@@ -1,0 +1,144 @@
+"""Primitive layers over flat parameter dicts.
+
+Params are a flat {dotted_name: array} dict in torch weight layout
+(Linear (out,in), Conv (out,in,kh,kw)) so HF checkpoint import is an
+identity key mapping and LoRA serialization stays byte-compatible.
+Activations are NHWC (TPU-preferred); XLA re-lays out OIHW kernels at
+compile time.
+
+Every dense/conv consults an optional LoRA context:
+
+    lora = {"sites": {name: {"up", "down"[, "diag"]}}, "scale": scalar,
+            "dropout_p": float, "rng": PRNGKey | None}
+
+matching the reference's injected-module forward
+(LoraInjectedLinear/Conv2d, lora.py:53-58,130-135).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.lora import lora_delta_conv, lora_delta_dense
+
+Params = Dict[str, jax.Array]
+
+
+def _lora_entry(lora, name):
+    if lora is None:
+        return None
+    return lora["sites"].get(name)
+
+
+def _lora_rng(lora, name):
+    rng = lora.get("rng") if lora else None
+    if rng is None:
+        return None, 0.0
+    return (
+        jax.random.fold_in(rng, zlib.crc32(name.encode()) & 0x7FFFFFFF),
+        lora.get("dropout_p", 0.0),
+    )
+
+
+def dense(p: Params, name: str, x: jax.Array, lora=None) -> jax.Array:
+    w = p[name + ".weight"].astype(x.dtype)
+    y = x @ w.T
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    entry = _lora_entry(lora, name)
+    if entry is not None:
+        rng, drop = _lora_rng(lora, name)
+        y = y + lora_delta_dense(x, entry, lora["scale"], rng, drop)
+    return y
+
+
+def conv2d(
+    p: Params,
+    name: str,
+    x: jax.Array,
+    stride: Tuple[int, int] = (1, 1),
+    padding: Tuple[int, int] = (0, 0),
+    lora=None,
+) -> jax.Array:
+    w = p[name + ".weight"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    entry = _lora_entry(lora, name)
+    if entry is not None:
+        rng, drop = _lora_rng(lora, name)
+        y = y + lora_delta_conv(x, entry, lora["scale"], stride, padding, rng, drop)
+    return y
+
+
+def group_norm(p: Params, name: str, x: jax.Array, groups: int,
+               eps: float) -> jax.Array:
+    """GroupNorm over NHWC channels; statistics in f32."""
+    dt = x.dtype
+    B, H, W, C = x.shape
+    xg = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(B, H, W, C)
+    out = out * p[name + ".weight"].astype(jnp.float32)
+    out = out + p[name + ".bias"].astype(jnp.float32)
+    return out.astype(dt)
+
+
+def layer_norm(p: Params, name: str, x: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * p[name + ".weight"].astype(jnp.float32) + p[name + ".bias"].astype(
+        jnp.float32
+    )
+    return out.astype(dt)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def timestep_embedding(
+    timesteps: jax.Array, dim: int, *, flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0, max_period: float = 10000.0,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, matching diffusers get_timestep_embedding
+    semantics (SD1.5: flip_sin_to_cos=True, freq_shift=0 -> [cos | sin])."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)

@@ -1,0 +1,116 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is accelerate/NCCL DDP
+(train_lora_dreambooth.py:489-494, SURVEY §2.3). The TPU-native equivalent:
+a jax.sharding.Mesh over ICI with
+
+  - dp:   batch axis sharding (DDP equivalent; LoRA/TI grads are psum'ed
+          automatically by pjit — and since the base is frozen, that is the
+          ONLY gradient traffic)
+  - fsdp: optional sharding of the frozen base weights across devices
+          (pure HBM savings: weights are all-gathered per-use, never
+          grad-synced)
+  - tp:   optional tensor parallelism of attention/FFN matmuls via weight
+          PartitionSpecs; XLA inserts the collectives
+
+Multi-slice (DCN) falls out of the same Mesh abstraction via
+jax.distributed.initialize, which `initialize_distributed` wraps.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (no-op on a single host)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(
+    dp: int = -1, fsdp: int = 1, tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh with axes (dp, fsdp, tp); dp=-1 consumes the remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        dp = n // (fsdp * tp)
+    if dp * fsdp * tp != n:
+        raise ValueError(f"mesh {dp}x{fsdp}x{tp} != {n} devices")
+    arr = np.array(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, ("dp", "fsdp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# regex -> PartitionSpec factory for tensor parallelism over the tp axis.
+# Column-parallel (shard out_features, axis 0): q/k/v, GEGLU proj, fc1.
+# Row-parallel (shard in_features, axis 1): attention out, ff out, fc2.
+_TP_RULES: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = (
+    (r"\.to_q\.weight$", ("tp", None)),
+    (r"\.to_k\.weight$", ("tp", None)),
+    (r"\.to_v\.weight$", ("tp", None)),
+    (r"\.(q|k|v)_proj\.weight$", ("tp", None)),
+    (r"\.ff\.net\.0\.proj\.weight$", ("tp", None)),
+    (r"\.mlp\.fc1\.weight$", ("tp", None)),
+    (r"\.to_out\.0\.weight$", (None, "tp")),
+    (r"\.out_proj\.weight$", (None, "tp")),
+    (r"\.ff\.net\.2\.weight$", (None, "tp")),
+    (r"\.mlp\.fc2\.weight$", (None, "tp")),
+)
+
+
+def param_pspec(name: str, shape: Tuple[int, ...], mesh: Mesh,
+                use_fsdp: bool = False, use_tp: bool = False) -> P:
+    """PartitionSpec for one base weight."""
+    spec = [None] * len(shape)
+    if use_tp and mesh.shape["tp"] > 1:
+        for pat, tp_spec in _TP_RULES:
+            if re.search(pat, name):
+                for i, ax in enumerate(tp_spec):
+                    if ax and shape[i] % mesh.shape["tp"] == 0:
+                        spec[i] = ax
+                break
+    if use_fsdp and mesh.shape["fsdp"] > 1:
+        # shard the largest still-free axis that divides evenly
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % mesh.shape["fsdp"] == 0 and shape[i] > 1:
+                spec[i] = "fsdp"
+                break
+    return P(*spec)
+
+
+def shard_params(params: Dict[str, jax.Array], mesh: Mesh,
+                 use_fsdp: bool = False, use_tp: bool = False) -> Dict[str, jax.Array]:
+    """Place a flat param dict onto the mesh per the rules above."""
+    out = {}
+    for name, w in params.items():
+        pspec = param_pspec(name, w.shape, mesh, use_fsdp, use_tp)
+        out[name] = jax.device_put(w, NamedSharding(mesh, pspec))
+    return out
+
+
+def replicate_tree(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

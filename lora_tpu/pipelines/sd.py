@@ -1,0 +1,292 @@
+"""Stable Diffusion pipeline (txt2img / img2img / inpaint) in JAX.
+
+Replaces diffusers' StableDiffusionPipeline for everything the reference
+does with it (patch_pipe + sampling, SURVEY §3.3). The pipeline object is a
+thin host-side orchestrator; all compute is jitted pure functions, so
+`tune_lora_scale` (a traced scalar) and LoRA swaps never retrigger
+compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lora as lora_core
+from ..core.sites import text_encoder_lora_sites, unet_lora_sites
+from ..data.tokenizer import CLIPTokenizer, default_tokenizer
+from ..formats.safetensors_io import (
+    SafetensorsFile,
+    parse_safeloras,
+    parse_safeloras_embeds,
+)
+from ..models import schedulers
+from ..models.clip import clip_text_forward, init_clip_text
+from ..models.config import (
+    CLIPTextConfig,
+    SD15_TEXT,
+    SD15_UNET,
+    SD15_VAE,
+    UNetConfig,
+    VAEConfig,
+)
+from ..models.unet import init_unet, unet_forward
+from ..models.vae import init_vae, vae_decode, vae_encode
+
+Params = Dict[str, jax.Array]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "num_inference_steps", "use_cfg"),
+)
+def _denoise_loop(
+    unet_params: Params,
+    lora_unet,
+    latents: jax.Array,
+    text_emb: jax.Array,
+    uncond_emb: jax.Array,
+    guidance_scale: jax.Array,
+    ts: jax.Array,
+    sched_alphas: jax.Array,
+    final_alpha: jax.Array,
+    unet_cfg: UNetConfig,
+    num_inference_steps: int,
+    use_cfg: bool,
+    extra_channels: Optional[jax.Array] = None,
+) -> jax.Array:
+    """DDIM denoise loop under one jit. ts: (S,) int32 descending."""
+    sched = schedulers.NoiseSchedule(
+        num_train_timesteps=1000, alphas_cumprod=sched_alphas,
+        final_alpha_cumprod=final_alpha,
+    )
+    ctx = jnp.concatenate([uncond_emb, text_emb], 0) if use_cfg else text_emb
+
+    step_delta = 1000 // num_inference_steps
+
+    def body(i, lat):
+        t = ts[i]
+        inp = lat
+        if extra_channels is not None:
+            inp = jnp.concatenate([lat, extra_channels], axis=-1)
+        model_in = jnp.concatenate([inp, inp], 0) if use_cfg else inp
+        B = lat.shape[0]
+        tt = jnp.full((model_in.shape[0],), t, jnp.int32)
+        out = unet_forward(unet_params, model_in, tt, ctx, unet_cfg,
+                           lora=lora_unet)
+        if use_cfg:
+            u, c = out[:B], out[B:]
+            out = u + guidance_scale.astype(out.dtype) * (c - u)
+        return schedulers.ddim_step(sched, out, jnp.full((B,), t, jnp.int32),
+                                    lat, jnp.full((B,), t - step_delta, jnp.int32))
+
+    return jax.lax.fori_loop(0, ts.shape[0], body, latents)
+
+
+@dataclasses.dataclass
+class StableDiffusionPipeline:
+    unet_params: Params
+    text_params: Params
+    vae_params: Params
+    tokenizer: CLIPTokenizer
+    unet_cfg: UNetConfig = SD15_UNET
+    text_cfg: CLIPTextConfig = SD15_TEXT
+    vae_cfg: VAEConfig = SD15_VAE
+    schedule: schedulers.NoiseSchedule = None
+    dtype: object = jnp.float32
+    lora_unet: Optional[dict] = None
+    lora_text: Optional[dict] = None
+
+    def __post_init__(self):
+        if self.schedule is None:
+            self.schedule = schedulers.make_schedule()
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def random_init(cls, rng=None, unet_cfg=SD15_UNET, text_cfg=SD15_TEXT,
+                    vae_cfg=SD15_VAE, dtype=jnp.float32, tokenizer=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return cls(
+            unet_params=init_unet(unet_cfg, k1, dtype),
+            text_params=init_clip_text(text_cfg, k2, dtype),
+            vae_params=init_vae(vae_cfg, k3, dtype),
+            tokenizer=tokenizer or default_tokenizer(
+                vocab_size=text_cfg.vocab_size),
+            unet_cfg=unet_cfg, text_cfg=text_cfg, vae_cfg=vae_cfg, dtype=dtype,
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.float32, tokenizer=None):
+        from ..models.hf_import import load_pipeline_params
+
+        unet_p, text_p, vae_p, cfgs = load_pipeline_params(path, dtype)
+        return cls(unet_params=unet_p, text_params=text_p, vae_params=vae_p,
+                   tokenizer=tokenizer or default_tokenizer(path),
+                   unet_cfg=cfgs[0], text_cfg=cfgs[1], vae_cfg=cfgs[2],
+                   dtype=dtype)
+
+    # -- LoRA / TI management (patch_pipe equivalents) ------------------------
+    def unet_sites(self, target=None):
+        return unet_lora_sites(self.unet_cfg, target)
+
+    def text_sites(self, target=None):
+        return text_encoder_lora_sites(self.text_cfg, target)
+
+    def patch_pipe(self, path: str, patch_unet=True, patch_text=True,
+                   patch_ti=True) -> Dict[str, np.ndarray]:
+        """Load a reference-format safetensors LoRA (+TI embeds) into the
+        pipeline. Reference patch_pipe, lora.py:958-1022."""
+        with SafetensorsFile(path) as f:
+            loras = parse_safeloras(f)
+            embeds = parse_safeloras_embeds(f)
+        if patch_unet and "unet" in loras:
+            weights, ranks, target = loras["unet"]
+            self.lora_unet = lora_core.lora_from_flat(
+                weights, self.unet_sites(set(target)))
+        if patch_text and "text_encoder" in loras:
+            weights, ranks, target = loras["text_encoder"]
+            self.lora_text = lora_core.lora_from_flat(
+                weights, self.text_sites(set(target)))
+        if patch_ti and embeds:
+            self.apply_ti(embeds)
+        return embeds
+
+    def apply_ti(self, embeds: Dict[str, np.ndarray],
+                 idempotent: bool = True) -> List[str]:
+        """Add TI tokens to the tokenizer and write their rows into (an
+        extension of) the embedding table. Reference
+        apply_learned_embed_in_clip, lora.py:899-942."""
+        key = "text_model.embeddings.token_embedding.weight"
+        applied = []
+        for token, vec in embeds.items():
+            n_added = self.tokenizer.add_tokens(token)
+            i = 1
+            while n_added == 0 and not idempotent:
+                token = f"{token[:-1]}-{i}>"
+                n_added = self.tokenizer.add_tokens(token)
+                i += 1
+            tok_id = self.tokenizer.convert_tokens_to_ids(token)
+            table = self.text_params[key]
+            if tok_id >= table.shape[0]:
+                pad = jnp.zeros((tok_id + 1 - table.shape[0], table.shape[1]),
+                                table.dtype)
+                table = jnp.concatenate([table, pad], 0)
+            table = table.at[tok_id].set(jnp.asarray(vec, table.dtype))
+            self.text_params = {**self.text_params, key: table}
+            applied.append(token)
+        return applied
+
+    def tune_lora_scale(self, alpha: float, text_alpha: Optional[float] = None):
+        if self.lora_unet is not None:
+            self.lora_unet = lora_core.tune_lora_scale(self.lora_unet, alpha)
+        if self.lora_text is not None:
+            self.lora_text = lora_core.tune_lora_scale(
+                self.lora_text, alpha if text_alpha is None else text_alpha)
+
+    def remove_lora(self):
+        """monkeypatch_remove_lora equivalent (lora.py:812-847)."""
+        self.lora_unet = None
+        self.lora_text = None
+
+    def collapse_lora(self, alpha: float = 1.0):
+        """Fold current LoRAs into base weights (lora.py:635-669)."""
+        if self.lora_unet is not None:
+            self.unet_params = lora_core.collapse_lora(
+                self.unet_params, self.lora_unet, alpha)
+        if self.lora_text is not None:
+            self.text_params = lora_core.collapse_lora(
+                self.text_params, self.lora_text, alpha)
+        self.remove_lora()
+
+    # -- encoding -----------------------------------------------------------
+    def encode_prompt(self, prompt: Union[str, Sequence[str]]) -> jax.Array:
+        ids = jnp.asarray(self.tokenizer(prompt)["input_ids"], jnp.int32)
+        return clip_text_forward(self.text_params, ids, self.text_cfg,
+                                 lora=self.lora_text, dtype=self.dtype)
+
+    def prepare_latents(self, batch: int, height: int, width: int,
+                        rng: jax.Array) -> jax.Array:
+        shape = (batch, height // 8, width // 8, self.unet_cfg.out_channels)
+        return jax.random.normal(rng, shape, self.dtype)
+
+    # -- sampling -----------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        negative_prompt: Union[str, Sequence[str]] = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        height: int = 512,
+        width: int = 512,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jax.Array] = None,
+        return_latents: bool = False,
+    ):
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        text_emb = self.encode_prompt(prompts)
+        use_cfg = guidance_scale > 1.0
+        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                  else text_emb)
+        if latents is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            latents = self.prepare_latents(B, height, width, rng)
+        ts = jnp.asarray(
+            schedulers.ddim_timesteps(self.schedule, num_inference_steps),
+            jnp.int32)
+        latents = _denoise_loop(
+            self.unet_params, self.lora_unet, latents, text_emb, uncond,
+            jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
+            jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
+            num_inference_steps, use_cfg)
+        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        images = np.asarray(
+            jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
+        if return_latents:
+            return images, latents
+        return images
+
+    def img2img(
+        self,
+        prompt: Union[str, Sequence[str]],
+        init_image: jax.Array,  # (B,H,W,3) in [-1,1]
+        strength: float = 0.8,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Union[str, Sequence[str]] = "",
+        rng: Optional[jax.Array] = None,
+    ):
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_enc, k_noise = jax.random.split(rng)
+        z = vae_encode(self.vae_params, init_image.astype(self.dtype),
+                       self.vae_cfg, k_enc)
+        ts_all = schedulers.ddim_timesteps(self.schedule, num_inference_steps)
+        t_start = max(num_inference_steps - int(num_inference_steps * strength), 0)
+        ts = ts_all[t_start:]
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        z = schedulers.add_noise(self.schedule, z, noise,
+                                 jnp.full((B,), int(ts[0]), jnp.int32))
+        text_emb = self.encode_prompt(prompts)
+        use_cfg = guidance_scale > 1.0
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                  else text_emb)
+        latents = _denoise_loop(
+            self.unet_params, self.lora_unet, z, text_emb, uncond,
+            jnp.float32(guidance_scale), jnp.asarray(ts, jnp.int32),
+            self.schedule.alphas_cumprod,
+            jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
+            num_inference_steps, use_cfg)
+        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))

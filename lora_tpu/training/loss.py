@@ -1,0 +1,136 @@
+"""The diffusion training loss as a jitted pure function.
+
+Reference: loss_step (cli_lora_pti.py:260-370). Differences forced by JAX:
+explicit PRNG threading (the reference uses torch's implicit RNG), and the
+trainable leaves (LoRA trees + TI buffer) are function inputs so jax.grad
+differentiates only them — the frozen base never sees gradient traffic.
+
+Trainable pytree:
+    trainable = {"lora_unet": LoraTree|None,
+                 "lora_text": LoraTree|None,
+                 "ti": {"embeds": (K, D)}|None}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import schedulers
+from ..models.clip import clip_text_forward
+from ..models.config import CLIPTextConfig, UNetConfig, VAEConfig
+from ..models.unet import unet_forward
+from ..models.vae import vae_encode
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    t_multiplier: float = 1.0
+    mask_temperature: float = 1.0
+    cached_latents: bool = True
+    train_inpainting: bool = False
+    with_prior_preservation: bool = False
+    prior_loss_weight: float = 1.0
+    lora_dropout_p: float = 0.0
+
+
+def _resize_mask_nearest(mask: jax.Array, h: int, w: int) -> jax.Array:
+    """(B, H, W, 1) -> (B, h, w, 1) nearest (matches F.interpolate nearest)."""
+    B, H, W, _ = mask.shape
+    ys = (jnp.arange(h) * (H / h)).astype(jnp.int32)
+    xs = (jnp.arange(w) * (W / w)).astype(jnp.int32)
+    return mask[:, ys][:, :, xs]
+
+
+def loss_step(
+    trainable: Dict,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    *,
+    unet_params,
+    text_params,
+    vae_params,
+    unet_cfg: UNetConfig,
+    text_cfg: CLIPTextConfig,
+    vae_cfg: VAEConfig,
+    sched: schedulers.NoiseSchedule,
+    cfg: LossConfig,
+    ti_ids: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    k_vae, k_noise, k_t, k_drop, k_mvae = jax.random.split(rng, 5)
+
+    if cfg.cached_latents:
+        latents = batch["latents"].astype(dtype)
+    else:
+        latents = vae_encode(vae_params, batch["pixel_values"].astype(dtype),
+                             vae_cfg, k_vae)
+
+    noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+    bsz = latents.shape[0]
+    t_hi = int(sched.num_train_timesteps * cfg.t_multiplier)
+    timesteps = jax.random.randint(k_t, (bsz,), 0, t_hi)
+
+    noisy = schedulers.add_noise(sched, latents, noise, timesteps)
+
+    if cfg.train_inpainting:
+        if cfg.cached_latents:
+            masked_latents = batch["masked_image_latents"].astype(dtype)
+            mask_small = batch["mask_values"].astype(dtype)
+        else:
+            masked_latents = vae_encode(
+                vae_params, batch["masked_image_values"].astype(dtype),
+                vae_cfg, k_mvae)
+            mask_small = _resize_mask_nearest(
+                batch["mask_values"].astype(dtype),
+                latents.shape[1], latents.shape[2])
+        model_input = jnp.concatenate([noisy, mask_small, masked_latents],
+                                      axis=-1)
+    else:
+        model_input = noisy
+
+    lora_text = trainable.get("lora_text")
+    ti = trainable.get("ti")
+    encoder_hidden = clip_text_forward(
+        text_params, batch["input_ids"], text_cfg, lora=lora_text,
+        ti_embeds=ti["embeds"] if ti is not None else None,
+        ti_ids=ti_ids, dtype=dtype)
+
+    lora_unet = trainable.get("lora_unet")
+    if lora_unet is not None and cfg.lora_dropout_p > 0.0:
+        lora_unet = {**lora_unet, "rng": k_drop,
+                     "dropout_p": cfg.lora_dropout_p}
+    model_pred = unet_forward(unet_params, model_input, timesteps,
+                              encoder_hidden, unet_cfg, lora=lora_unet)
+
+    if sched.prediction_type == "epsilon":
+        target = noise
+    elif sched.prediction_type == "v_prediction":
+        target = schedulers.get_velocity(sched, latents, noise, timesteps)
+    else:
+        raise ValueError(f"Unknown prediction type {sched.prediction_type}")
+
+    if "mask" in batch and batch["mask"] is not None:
+        # pixel-space mask -> latent res, temperature-sharpened, peak-normed
+        # (cli_lora_pti.py:341-362)
+        mask = batch["mask"].astype(jnp.float32)
+        mask = _resize_mask_nearest(mask, model_pred.shape[1],
+                                    model_pred.shape[2])
+        mask = (mask + 0.01) ** cfg.mask_temperature
+        mask = mask / mask.max()
+        model_pred = model_pred * mask.astype(model_pred.dtype)
+        target = target * mask.astype(target.dtype)
+
+    se = (model_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    per_example = se.mean(axis=(1, 2, 3))
+
+    if cfg.with_prior_preservation:
+        # batch = [instance | class] halves (train_lora_dreambooth.py:843-875)
+        half = bsz // 2
+        inst = per_example[:half].mean()
+        prior = per_example[half:].mean()
+        return inst + cfg.prior_loss_weight * prior
+    return per_example.mean()

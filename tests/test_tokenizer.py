@@ -1,0 +1,84 @@
+"""CLIP BPE tokenizer: algorithm correctness on a constructed vocab and the
+added-token (TI) behavior the reference relies on."""
+
+from lora_tpu.data.tokenizer import BOS, EOS, CLIPTokenizer, bytes_to_unicode
+
+
+def make_real_style_tokenizer():
+    """Tiny vocab exercising the real BPE algorithm (CLIP conventions:
+    </w> end-of-word marker, merges ranked)."""
+    # base symbols
+    chars = list("abcdehlorw")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    for tok in ["he", "ll", "llo</w>", "hello</w>", "wo", "wor", "ld</w>",
+                "world</w>", "ab</w>"]:
+        vocab[tok] = len(vocab)
+    vocab[BOS] = len(vocab)
+    vocab[EOS] = len(vocab)
+    merges = ["h e", "l l", "ll o</w>", "he llo</w>", "w o", "wo r",
+              "l d</w>", "wor ld</w>", "a b</w>"]
+    return CLIPTokenizer(vocab, merges, model_max_length=16)
+
+
+def test_bpe_merges():
+    tok = make_real_style_tokenizer()
+    ids = tok.encode("hello world")
+    inv = {v: k for k, v in tok.encoder.items()}
+    assert [inv[i] for i in ids] == ["hello</w>", "world</w>"]
+
+
+def test_bpe_partial_merge():
+    tok = make_real_style_tokenizer()
+    ids = tok.encode("ab")
+    inv = {v: k for k, v in tok.encoder.items()}
+    assert [inv[i] for i in ids] == ["ab</w>"]
+
+
+def test_call_padding_and_specials():
+    tok = make_real_style_tokenizer()
+    out = tok(["hello"], max_length=8)["input_ids"][0]
+    assert out[0] == tok.bos_token_id
+    assert out[1] == tok.encoder["hello</w>"]
+    assert out[2] == tok.eos_token_id
+    assert all(t == tok.eos_token_id for t in out[2:])
+    assert len(out) == 8
+
+
+def test_truncation():
+    tok = make_real_style_tokenizer()
+    out = tok(["hello " * 50], max_length=8)["input_ids"][0]
+    assert len(out) == 8 and out[-1] == tok.eos_token_id
+
+
+def test_added_tokens_atomic():
+    tok = make_real_style_tokenizer()
+    assert tok.add_tokens("<s1>") == 1
+    assert tok.add_tokens("<s1>") == 0  # already present
+    base = len(tok.encoder)
+    tid = tok.convert_tokens_to_ids("<s1>")
+    assert tid >= tok.base_vocab_size
+    ids = tok.encode("hello <s1> world")
+    assert tid in ids
+    # multi-vector adjacency: <s1><s2> splits into two ids
+    tok.add_tokens("<s2>")
+    ids2 = tok.encode("<s1><s2>")
+    assert ids2 == [tid, tok.convert_tokens_to_ids("<s2>")]
+
+
+def test_hashed_fallback_deterministic():
+    tok = CLIPTokenizer()
+    a = tok("a photo of a dog")["input_ids"]
+    b = tok("a photo of a dog")["input_ids"]
+    assert a == b
+    assert len(a[0]) == 77
+    tok.add_tokens(["<s1>"])
+    ids = tok.encode("<s1> dog")
+    assert ids[0] == tok.convert_tokens_to_ids("<s1>") == 49408
+
+
+def test_bytes_to_unicode_covers_all_bytes():
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
