@@ -1,0 +1,32 @@
+"""DreamBooth-LoRA training CLI (reference train_lora_dreambooth.py).
+`python -m lora_tpu.cli.lora_db --pretrained_model_name_or_path ... `"""
+
+from __future__ import annotations
+
+
+from ._fire import fire
+from ..training.dreambooth import DreamBoothConfig, train_dreambooth
+
+
+def train(pretrained_model_name_or_path: str = "",
+          mixed_precision: str = None, **kwargs):
+    import jax.numpy as jnp
+
+    from ..pipelines.sd import StableDiffusionPipeline
+
+    dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
+    pipe = StableDiffusionPipeline.from_pretrained(
+        pretrained_model_name_or_path, dtype=dtype)
+    from ._fire import coerce_kwargs_to_dataclass
+
+    kwargs = coerce_kwargs_to_dataclass(DreamBoothConfig, kwargs)
+    cfg = DreamBoothConfig(mixed_precision=mixed_precision, **kwargs)
+    return train_dreambooth(pipe, cfg)
+
+
+def main():
+    fire(train)
+
+
+if __name__ == "__main__":
+    main()

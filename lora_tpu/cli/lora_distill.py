@@ -1,0 +1,59 @@
+"""`lora_distill` — SVD-distill a full fine-tune into a LoRA
+(reference cli_svd.py:95-146). Runs the SVDs on-device (jnp.linalg.svd)."""
+
+from __future__ import annotations
+
+from ..core.save import save_all
+from ..core.svd import svd_distill
+from ..formats.safetensors_io import (
+    TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    UNET_DEFAULT_TARGET_REPLACE,
+    UNET_EXTENDED_TARGET_REPLACE,
+)
+from ._fire import fire
+
+
+def svd_distill_cli(
+    target_model: str,
+    base_model: str,
+    rank: int = 4,
+    clamp_quantile: float = 0.99,
+    device: str = "tpu",  # accepted for recipe compat; jax picks the backend
+    save_path: str = "svd_distill.safetensors",
+    extended: bool = False,
+):
+    from ..core.sites import text_encoder_lora_sites, unet_lora_sites
+    from ..models.hf_import import load_pipeline_params
+
+    del device
+    base_unet, base_text, _, (ucfg, tcfg, _) = load_pipeline_params(base_model)
+    tuned_unet, tuned_text, _, _ = load_pipeline_params(target_model)
+
+    # The reference injects extended targets but extracts/saves the default
+    # set (cli_svd.py:112 + save_all default), so resnet factors never reach
+    # the artifact; we compute exactly what we save. --extended keeps them.
+    unet_targets = (UNET_EXTENDED_TARGET_REPLACE if extended
+                    else UNET_DEFAULT_TARGET_REPLACE)
+    usites = unet_lora_sites(ucfg, unet_targets)
+    tsites = text_encoder_lora_sites(tcfg)
+
+    print(f"SVD distilling {len(usites)} unet + {len(tsites)} text sites "
+          f"at rank {rank}")
+    lora_unet = svd_distill(base_unet, tuned_unet, usites, rank,
+                            clamp_quantile)
+    lora_text = svd_distill(base_text, tuned_text, tsites, rank,
+                            clamp_quantile)
+
+    save_all(save_path, lora_unet=lora_unet, unet_sites=usites,
+             lora_text=lora_text, text_sites=tsites, save_ti=False,
+             target_replace_module_unet=unet_targets,
+             target_replace_module_text=TEXT_ENCODER_DEFAULT_TARGET_REPLACE)
+    print(f"Saved to {save_path}")
+
+
+def main():
+    fire(svd_distill_cli)
+
+
+if __name__ == "__main__":
+    main()

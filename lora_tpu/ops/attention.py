@@ -33,8 +33,9 @@ def _use_flash(q, k) -> bool:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    # flash kernel wants enough rows to tile; tiny test shapes go to XLA
-    return q.shape[-2] >= 256 and k.shape[-2] >= 128
+    from .flash_attention import supported
+
+    return supported(q.shape, k.shape)
 
 
 def attention(

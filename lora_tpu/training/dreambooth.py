@@ -1,0 +1,217 @@
+"""DreamBooth-LoRA trainer (reference train_lora_dreambooth.py:486-1003),
+TPU-native: jitted train step, optional data-parallel mesh over ICI, prior
+preservation with on-the-fly class-image generation, dual unet/text LR,
+resume from .pt, periodic + final saves in pt/safe formats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lora as lora_core
+from ..core.save import save_all
+from ..core.sites import text_encoder_lora_sites, unet_lora_sites
+from ..data.dataset import DreamBoothDataset, data_loader
+from ..formats import pt_io
+from ..formats.safetensors_io import (
+    TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    UNET_DEFAULT_TARGET_REPLACE,
+)
+from ..parallel import mesh as mesh_lib
+from ..pipelines.sd import StableDiffusionPipeline
+from ..utils.metrics import MetricsLogger
+from .loss import LossConfig
+from .optim import make_lr_schedule, make_optimizer
+from .train_step import make_train_step
+
+
+@dataclasses.dataclass
+class DreamBoothConfig:
+    instance_data_dir: str = ""
+    output_dir: str = "./output"
+    instance_prompt: str = ""
+    with_prior_preservation: bool = False
+    class_data_dir: Optional[str] = None
+    class_prompt: Optional[str] = None
+    num_class_images: int = 100
+    prior_loss_weight: float = 1.0
+    resolution: int = 512
+    train_batch_size: int = 1
+    learning_rate: float = 1e-4
+    learning_rate_text: float = 5e-5
+    train_text_encoder: bool = False
+    lora_rank: int = 4
+    max_train_steps: int = 800
+    save_steps: int = 500
+    gradient_accumulation_steps: int = 1
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+    max_grad_norm: float = 1.0
+    adam_weight_decay: float = 1e-2
+    seed: int = 0
+    color_jitter: bool = False
+    h_flip: bool = False
+    resume_unet: Optional[str] = None
+    resume_text_encoder: Optional[str] = None
+    output_format: str = "both"  # pt | safe | both
+    mixed_precision: Optional[str] = None  # None | "bf16"
+    cached_latents: bool = False
+    data_parallel: bool = False
+    sample_guidance_scale: float = 7.5
+    sample_steps: int = 50
+
+
+def generate_class_images(pipe: StableDiffusionPipeline,
+                          cfg: DreamBoothConfig) -> None:
+    """Prior-preservation class image generation
+    (train_lora_dreambooth.py:512-558)."""
+    os.makedirs(cfg.class_data_dir, exist_ok=True)
+    cur = len([f for f in os.listdir(cfg.class_data_dir)
+               if f.lower().endswith((".jpg", ".png", ".jpeg"))])
+    need = cfg.num_class_images - cur
+    if need <= 0:
+        return
+    print(f"Generating {need} class images for prior preservation...")
+    from PIL import Image
+
+    bs = 4
+    for s in range(0, need, bs):
+        n = min(bs, need - s)
+        imgs = pipe([cfg.class_prompt] * n,
+                    num_inference_steps=cfg.sample_steps,
+                    guidance_scale=cfg.sample_guidance_scale,
+                    height=cfg.resolution, width=cfg.resolution,
+                    rng=jax.random.PRNGKey(cfg.seed + 1000 + s))
+        for j in range(n):
+            arr = (imgs[j] * 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(cfg.class_data_dir, f"gen_{cur + s + j}.jpg"))
+
+
+def train_dreambooth(pipe: StableDiffusionPipeline,
+                     cfg: DreamBoothConfig) -> dict:
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
+    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+
+    if cfg.with_prior_preservation:
+        assert cfg.class_data_dir and cfg.class_prompt
+        generate_class_images(pipe, cfg)
+
+    usites = unet_lora_sites(pipe.unet_cfg)
+    trainable = {
+        "lora_unet": lora_core.init_lora(
+            usites, r=cfg.lora_rank, rng=jax.random.PRNGKey(cfg.seed)),
+    }
+    if cfg.resume_unet:
+        trainable["lora_unet"] = lora_core.lora_from_flat(
+            pt_io.load_lora_pt(cfg.resume_unet), usites)
+    tsites = text_encoder_lora_sites(pipe.text_cfg)
+    if cfg.train_text_encoder:
+        trainable["lora_text"] = lora_core.init_lora(
+            tsites, r=cfg.lora_rank, rng=jax.random.PRNGKey(cfg.seed + 1))
+        if cfg.resume_text_encoder:
+            trainable["lora_text"] = lora_core.lora_from_flat(
+                pt_io.load_lora_pt(cfg.resume_text_encoder), tsites)
+
+    ds = DreamBoothDataset(
+        instance_data_root=cfg.instance_data_dir,
+        instance_prompt=cfg.instance_prompt,
+        tokenizer=pipe.tokenizer,
+        class_data_root=cfg.class_data_dir if cfg.with_prior_preservation else None,
+        class_prompt=cfg.class_prompt,
+        size=cfg.resolution,
+        color_jitter=cfg.color_jitter,
+        h_flip=cfg.h_flip,
+        seed=cfg.seed,
+    )
+    loader = data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
+                         prior_preservation=cfg.with_prior_preservation)
+
+    lrs = {"lora_unet": make_lr_schedule(
+        cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps,
+        cfg.lr_warmup_steps)}
+    if cfg.train_text_encoder:
+        lrs["lora_text"] = make_lr_schedule(
+            cfg.lr_scheduler, cfg.learning_rate_text, cfg.max_train_steps,
+            cfg.lr_warmup_steps)
+    opt = make_optimizer(trainable, lrs,
+                         weight_decay=cfg.adam_weight_decay,
+                         max_grad_norm=cfg.max_grad_norm,
+                         grad_accum=cfg.gradient_accumulation_steps)
+
+    mesh = None
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(dp=len(jax.devices()))
+
+    loss_cfg = LossConfig(
+        cached_latents=False,
+        with_prior_preservation=cfg.with_prior_preservation,
+        prior_loss_weight=cfg.prior_loss_weight,
+    )
+    step_fn = make_train_step(
+        unet_cfg=pipe.unet_cfg, text_cfg=pipe.text_cfg, vae_cfg=pipe.vae_cfg,
+        sched=pipe.schedule, loss_cfg=loss_cfg, optimizer=opt, dtype=dtype,
+        mesh=mesh)
+
+    base = (pipe.unet_params, pipe.text_params, pipe.vae_params)
+    if mesh is not None:
+        base = tuple(mesh_lib.shard_params(p, mesh) for p in base)
+        trainable = mesh_lib.replicate_tree(trainable, mesh)
+    opt_state = opt.init(trainable)
+    if mesh is not None:
+        opt_state = mesh_lib.replicate_tree(opt_state, mesh)
+
+    def save(step_tag: str, final=False):
+        name = ("lora_weight" if final else f"lora_weight_s{step_tag}")
+        if cfg.output_format in ("safe", "both"):
+            save_all(os.path.join(cfg.output_dir, name + ".safetensors"),
+                     lora_unet=trainable.get("lora_unet"), unet_sites=usites,
+                     lora_text=trainable.get("lora_text"), text_sites=tsites,
+                     save_ti=False)
+        if cfg.output_format in ("pt", "both"):
+            save_all(os.path.join(cfg.output_dir, name + ".pt"),
+                     lora_unet=trainable.get("lora_unet"), unet_sites=usites,
+                     lora_text=trainable.get("lora_text"), text_sites=tsites,
+                     save_ti=False, safe_form=False)
+
+    rng = jax.random.PRNGKey(cfg.seed + 7)
+    t_start = time.perf_counter()
+    global_step = 0
+    micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
+    for micro in range(micro_steps):
+        batch = next(loader)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
+        rng, krng = jax.random.split(rng)
+        trainable, opt_state, loss = step_fn(trainable, opt_state, base,
+                                             batch, krng)
+        if (micro + 1) % cfg.gradient_accumulation_steps == 0:
+            global_step += 1
+            if global_step % 10 == 0 or global_step == 1:
+                log.log(step=global_step, loss=float(loss),
+                        sps=global_step / (time.perf_counter() - t_start))
+            if cfg.save_steps and global_step % cfg.save_steps == 0:
+                save(str(global_step))
+                print("moved:",
+                      json.dumps({k: round(v[0], 6) for k, v in list(
+                          lora_core.inspect_lora(
+                              trainable["lora_unet"]).items())[:4]}))
+
+    save("final", final=True)
+    elapsed = time.perf_counter() - t_start
+    result = {"steps": global_step, "seconds": elapsed,
+              "steps_per_sec": global_step / elapsed,
+              "final_loss": float(loss)}
+    log.log(**result)
+    return {**result, "trainable": trainable}

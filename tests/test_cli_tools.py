@@ -1,0 +1,211 @@
+"""Tool layer: lora_add modes, lora_join/LoRAManager, SVD distillation,
+pt->safetensors conversion, CompVis ckpt export."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lora_tpu.cli.lora_add import add
+from lora_tpu.core.lora import collapse_lora, init_lora, lora_to_pairs
+from lora_tpu.core.svd import svd_distill
+from lora_tpu.formats.reader import SafetensorsFile
+from lora_tpu.formats.safetensors_io import (
+    UNET_DEFAULT_TARGET_REPLACE,
+    load_safeloras_both,
+    save_safeloras_with_embeds,
+)
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET, TINY_VAE
+from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+
+
+def tiny_lora_file(pipe, path, seed=0, r=2, ti=True):
+    usites = pipe.unet_sites()
+    ul = init_lora(usites, r=r, rng=jax.random.PRNGKey(seed))
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), len(ul["sites"]))
+    for (n, e), k in zip(sorted(ul["sites"].items()), ks):
+        e["up"] = jax.random.normal(k, e["up"].shape) * 0.05
+    embeds = {}
+    if ti:
+        embeds = {f"<s{seed}>": np.random.RandomState(seed).randn(
+            TINY_TEXT.hidden_size).astype(np.float32)}
+    save_safeloras_with_embeds(
+        {"unet": (lora_to_pairs(ul, usites), UNET_DEFAULT_TARGET_REPLACE)},
+        embeds, path)
+    return ul
+
+
+def test_lpl_merge_safetensors(pipe, tmp_path, golden_disney):
+    out = str(tmp_path / "merged.safetensors")
+    add(golden_disney, golden_disney, out, alpha_1=0.25, alpha_2=0.75,
+        mode="lpl")
+    orig, _ = load_safeloras_both(golden_disney)
+    merged, embeds = load_safeloras_both(out)
+    # 0.25x + 0.75x == x (fp16 rounding)
+    np.testing.assert_allclose(merged["unet"][0][0].astype(np.float32),
+                               orig["unet"][0][0].astype(np.float32),
+                               rtol=2e-3, atol=1e-4)
+    assert set(embeds) == {"<s1>", "<s2>"}  # TI embeds pass through
+
+
+def test_lpl_merge_pt(tmp_path):
+    from lora_tpu.formats import pt_io
+
+    p1, p2 = str(tmp_path / "a.pt"), str(tmp_path / "b.pt")
+    pairs1 = [(np.ones((4, 2), np.float32), np.full((2, 4), 2.0, np.float32))]
+    pairs2 = [(np.full((4, 2), 3.0, np.float32), np.ones((2, 4), np.float32))]
+    pt_io.save_lora_pt(pairs1, p1)
+    pt_io.save_lora_pt(pairs2, p2)
+    out = str(tmp_path / "m.pt")
+    add(p1, p2, out, alpha_1=0.5, alpha_2=0.5, mode="lpl")
+    merged = pt_io.load_lora_pt(out)
+    np.testing.assert_allclose(merged[0], np.full((4, 2), 2.0), rtol=1e-3)
+    np.testing.assert_allclose(merged[1], np.full((2, 4), 1.5), rtol=1e-3)
+
+
+def test_ljl_join_and_manager(pipe, tmp_path):
+    import dataclasses
+
+    p1 = str(tmp_path / "l1.safetensors")
+    p2 = str(tmp_path / "l2.safetensors")
+    tiny_lora_file(pipe, p1, seed=0)
+    tiny_lora_file(pipe, p2, seed=1)
+    out = str(tmp_path / "joined.safetensors")
+    add(p1, p2, out, mode="ljl")
+    with SafetensorsFile(out) as f:
+        meta = f.metadata()
+        assert meta["unet:0:rank"] == "4"  # 2 + 2
+        assert f.shape("unet:0:down")[0] == 4
+        assert meta.get("<s0-0>") == "<embed>"
+        assert meta.get("<s1-0>") == "<embed>"
+
+    # LoRAManager over the two separate files
+    from lora_tpu.data.tokenizer import CLIPTokenizer
+    from lora_tpu.lora_manager import LoRAManager
+
+    p = dataclasses.replace(pipe)
+    p.tokenizer = CLIPTokenizer(vocab_size=TINY_TEXT.vocab_size)
+    mgr = LoRAManager([p1, p2], p)
+    assert mgr.ranklist == [2, 2]
+    assert mgr.token_size_list == [1, 1]
+    assert mgr.prompt("a <1> and <2>") == "a <s0-0> and <s1-0>"
+    mgr.tune([0.5, 0.2])
+    diag = np.asarray(p.lora_unet["sites"][next(
+        iter(p.lora_unet["sites"]))]["diag"])
+    np.testing.assert_allclose(diag, [0.5, 0.5, 0.2, 0.2])
+    img = p("a <1> photo", num_inference_steps=2, height=64, width=64)
+    assert np.isfinite(img).all()
+
+
+def test_svd_distill_recovers_low_rank(pipe):
+    """If tuned = base + up@down (rank r), SVD at rank r recovers the delta
+    exactly (clamp off)."""
+    usites = pipe.unet_sites()[:4]
+    lora = init_lora(usites, r=2, rng=jax.random.PRNGKey(3))
+    ks = jax.random.split(jax.random.PRNGKey(4), len(lora["sites"]))
+    for (n, e), k in zip(sorted(lora["sites"].items()), ks):
+        e["up"] = jax.random.normal(k, e["up"].shape) * 0.05
+    base = {s.name + ".weight": pipe.unet_params[s.name + ".weight"]
+            for s in usites}
+    tuned = collapse_lora(base, lora, alpha=1.0)
+    distilled = svd_distill(base, tuned, usites, rank=2, clamp_quantile=1.0)
+    for s in usites:
+        delta_true = (np.asarray(tuned[s.name + ".weight"], np.float32)
+                      - np.asarray(base[s.name + ".weight"], np.float32))
+        e = distilled["sites"][s.name]
+        delta_svd = np.asarray(e["up"], np.float32) @ np.asarray(
+            e["down"], np.float32)
+        np.testing.assert_allclose(delta_svd, delta_true, rtol=2e-2,
+                                   atol=2e-4)
+
+
+def test_svd_distill_conv_shapes():
+    from lora_tpu.core.sites import Site
+    from lora_tpu.core.svd import svd_distill_site
+
+    wb = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 3, 3)) * 0.1
+    wt = wb + jax.random.normal(jax.random.PRNGKey(1), (8, 4, 3, 3)) * 0.01
+    up, down = svd_distill_site(wb, wt, rank=2)
+    assert up.shape == (8, 2, 1, 1) and down.shape == (2, 4, 3, 3)
+
+
+def test_pt_to_safetensors(tmp_path):
+    import torch
+
+    from lora_tpu.cli.pt_to_safetensors import convert
+    from lora_tpu.formats.safetensors_io import load_safeloras_both
+
+    lora_path = str(tmp_path / "unet.pt")
+    ti_path = str(tmp_path / "embeds.pt")
+    torch.save([torch.ones(4, 2), torch.ones(2, 8)], lora_path)
+    torch.save({"<tok>": torch.zeros(16)}, ti_path)
+    out = str(tmp_path / "conv.safetensors")
+    convert(lora_path, ti_path, outpath=out, **{"unet.rank": 2})
+    loras, embeds = load_safeloras_both(out)
+    assert loras["unet"][1] == [2]
+    assert "<tok>" in embeds
+
+
+def test_ckpt_export_keys(pipe, tmp_path):
+    import torch
+
+    from lora_tpu.formats.ckpt_export import convert_to_ckpt
+
+    out = str(tmp_path / "export.ckpt")
+    convert_to_ckpt(pipe, out, as_half=True)
+    sd = torch.load(out, map_location="cpu", weights_only=False)["state_dict"]
+    # UNet CompVis layout
+    assert "model.diffusion_model.input_blocks.0.0.weight" in sd
+    assert "model.diffusion_model.time_embed.0.weight" in sd
+    assert "model.diffusion_model.out.2.bias" in sd
+    assert ("model.diffusion_model.input_blocks.1.0.in_layers.2.weight"
+            in sd)
+    assert ("model.diffusion_model.input_blocks.1.1.transformer_blocks.0."
+            "attn1.to_q.weight" in sd)
+    assert "model.diffusion_model.middle_block.1.proj_in.weight" in sd
+    # VAE: attention projections exported as 1x1 convs, reversed up indices
+    q = sd["first_stage_model.encoder.mid.attn_1.q.weight"]
+    assert q.ndim == 4 and q.shape[2:] == (1, 1)
+    assert "first_stage_model.decoder.up.3.block.0.conv1.weight" in sd
+    assert "first_stage_model.encoder.down.0.downsample.conv.weight" in sd
+    # text encoder passthrough
+    assert ("cond_stage_model.transformer.text_model.encoder.layers.0."
+            "self_attn.k_proj.weight" in sd)
+    assert sd["model.diffusion_model.out.2.bias"].dtype == torch.float16
+    # no unet key left unmapped
+    assert not any(k.startswith("model.diffusion_model.down_blocks")
+                   for k in sd)
+
+
+def test_upl_collapse_roundtrip(pipe, tmp_path):
+    """upl: base + LoRA collapsed -> diffusers dir; reload must match the
+    runtime-LoRA pipeline output."""
+    import dataclasses
+
+    from lora_tpu.models.hf_import import save_pipeline_params
+
+    base_dir = str(tmp_path / "base")
+    save_pipeline_params(pipe, base_dir)
+    lora_path = str(tmp_path / "l.safetensors")
+    tiny_lora_file(pipe, lora_path, seed=7, ti=False)
+
+    out_dir = str(tmp_path / "merged")
+    add(base_dir, lora_path, out_dir, alpha_1=1.0, mode="upl")
+
+    merged = StableDiffusionPipeline.from_pretrained(
+        out_dir, tokenizer=pipe.tokenizer)
+    runtime = dataclasses.replace(pipe)
+    runtime.patch_pipe(lora_path, patch_ti=False)
+    lat = pipe.prepare_latents(1, 64, 64, jax.random.PRNGKey(5))
+    a = runtime("q", num_inference_steps=2, height=64, width=64, latents=lat)
+    b = merged("q", num_inference_steps=2, height=64, width=64, latents=lat)
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=6e-3)

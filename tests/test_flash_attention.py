@@ -1,0 +1,62 @@
+"""Flash attention kernel vs the XLA reference path (interpret mode on CPU,
+compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lora_tpu.ops.attention import _xla_attention
+from lora_tpu.ops.flash_attention import flash_attention, supported
+
+
+def make_qkv(B=1, H=2, T=256, S=512, D=40, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D), dtype)
+    k = jax.random.normal(ks[1], (B, H, S, D), dtype)
+    v = jax.random.normal(ks[2], (B, H, S, D), dtype)
+    return q, k, v
+
+
+def test_supported_shapes():
+    assert supported((1, 8, 4096, 40), (1, 8, 4096, 40))
+    assert supported((1, 8, 1024, 80), (1, 8, 1024, 80))
+    assert supported((1, 8, 256, 160), (1, 8, 256, 160))
+    assert not supported((1, 8, 64, 160), (1, 8, 64, 160))
+    assert not supported((1, 8, 256, 160), (1, 8, 77, 160))
+
+
+def test_flash_matches_xla():
+    q, k, v = make_qkv()
+    scale = q.shape[-1] ** -0.5
+    ref = _xla_attention(q, k, v, scale, None)
+    out = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_flash_headdim_not_multiple_of_128():
+    # D=40 (SD 320-channel heads): padding path
+    q, k, v = make_qkv(T=256, S=256, D=40, seed=3)
+    scale = 0.2
+    ref = _xla_attention(q, k, v, scale, None)
+    out = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_flash_grads_match_xla():
+    q, k, v = make_qkv(T=256, S=256, D=32, seed=5)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-4)

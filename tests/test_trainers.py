@@ -1,0 +1,110 @@
+"""End-to-end trainer smoke tests on tiny configs: DreamBooth and the
+two-phase PTI driver, checking artifacts and format compatibility."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from lora_tpu.formats.safetensors_io import load_safeloras_both
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET, TINY_VAE
+from lora_tpu.pipelines.sd import StableDiffusionPipeline
+from lora_tpu.training.dreambooth import DreamBoothConfig, train_dreambooth
+from lora_tpu.training.pti import PTIConfig, train_pti
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        arr = (rs.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"photo of a sks dog {i}.jpg")
+    return str(d)
+
+
+def test_dreambooth_end_to_end(pipe, image_dir, tmp_path):
+    import dataclasses
+
+    out = str(tmp_path / "db_out")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        instance_prompt="a photo of sks dog",
+        resolution=64,
+        lora_rank=2,
+        max_train_steps=3,
+        save_steps=2,
+        train_text_encoder=True,
+        output_format="both",
+        seed=0,
+    )
+    res = train_dreambooth(dataclasses.replace(pipe), cfg)
+    assert res["steps"] == 3
+    assert np.isfinite(res["final_loss"])
+    assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
+    assert os.path.exists(os.path.join(out, "lora_weight.pt"))
+    assert os.path.exists(os.path.join(out, "lora_weight_s2.safetensors"))
+
+    # the artifact loads through the reference-format parser and patches
+    loras, embeds = load_safeloras_both(
+        os.path.join(out, "lora_weight.safetensors"))
+    assert set(loras) == {"unet", "text_encoder"}
+    assert loras["unet"][1] == [2] * 144
+    p2 = dataclasses.replace(pipe)
+    p2.patch_pipe(os.path.join(out, "lora_weight.safetensors"))
+    assert p2.lora_unet is not None and p2.lora_text is not None
+
+
+def test_pti_end_to_end(pipe, image_dir, tmp_path):
+    import dataclasses
+
+    out = str(tmp_path / "pti_out")
+    cfg = PTIConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        placeholder_tokens="<s1>|<s2>",
+        use_template="object",
+        placeholder_token_at_data=None,
+        resolution=64,
+        lora_rank=2,
+        max_train_steps_ti=2,
+        max_train_steps_tuning=2,
+        save_steps=2,
+        gradient_accumulation_steps=1,
+        cached_latents=True,
+        train_text_encoder=True,
+        seed=1,
+    )
+    p = dataclasses.replace(pipe)
+    p.tokenizer = type(pipe.tokenizer)(vocab_size=TINY_TEXT.vocab_size)
+    res = train_pti(p, cfg)
+    assert np.isfinite(res["final_loss"])
+    assert res["placeholder_tokens"] == ["<s1>", "<s2>"]
+    assert os.path.exists(os.path.join(out, "step_inv_2.safetensors"))
+    final = os.path.join(out, "final_lora.safetensors")
+    assert os.path.exists(final)
+    loras, embeds = load_safeloras_both(final)
+    assert set(embeds) == {"<s1>", "<s2>"}
+    assert set(loras) == {"unet", "text_encoder"}
+    # inversion artifact is TI-only (save_lora=False)
+    inv_loras, inv_embeds = load_safeloras_both(
+        os.path.join(out, "step_inv_2.safetensors"))
+    assert inv_loras == {} and set(inv_embeds) == {"<s1>", "<s2>"}
+
+
+def test_pti_token_validation(pipe):
+    cfg = PTIConfig(placeholder_tokens="<s2>|<s1>")  # unsorted
+    with pytest.raises(AssertionError):
+        from lora_tpu.training.pti import parse_token_args
+
+        parse_token_args(cfg)

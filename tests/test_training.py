@@ -1,0 +1,222 @@
+"""Training: loss function semantics, optimizer groups, jitted train step,
+and data-parallel equivalence on the virtual 8-device mesh.
+
+CPU note: each distinct loss graph is expensive to evaluate eagerly, so the
+loss-semantics checks are consolidated to minimize trace/compile count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lora_tpu.core.lora import init_lora
+from lora_tpu.core.sites import text_encoder_lora_sites, unet_lora_sites
+from lora_tpu.models import schedulers
+from lora_tpu.models.clip import init_clip_text
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET, TINY_VAE
+from lora_tpu.models.unet import init_unet
+from lora_tpu.models.vae import init_vae
+from lora_tpu.parallel import mesh as mesh_lib
+from lora_tpu.training.loss import LossConfig, loss_step
+from lora_tpu.training.optim import make_lr_schedule, make_optimizer
+from lora_tpu.training.train_step import make_train_step, ti_norm_prior
+
+SCHED = schedulers.make_schedule()
+
+
+@pytest.fixture(scope="module")
+def base():
+    return (init_unet(TINY_UNET, jax.random.PRNGKey(0)),
+            init_clip_text(TINY_TEXT, jax.random.PRNGKey(1)),
+            init_vae(TINY_VAE, jax.random.PRNGKey(2)))
+
+
+def make_trainable(r=2, seed=5, with_ti=False):
+    t = {
+        "lora_unet": init_lora(unet_lora_sites(TINY_UNET), r=r,
+                               rng=jax.random.PRNGKey(seed)),
+        "lora_text": init_lora(text_encoder_lora_sites(TINY_TEXT), r=r,
+                               rng=jax.random.PRNGKey(seed + 1)),
+    }
+    if with_ti:
+        t["ti"] = {"embeds": jax.random.normal(
+            jax.random.PRNGKey(seed + 2), (2, TINY_TEXT.hidden_size)) * 0.02}
+    return t
+
+
+def make_batch(bsz=2, seed=7, with_mask=False):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    batch = {
+        "latents": jax.random.normal(ks[0], (bsz, 8, 8, 4)),
+        "input_ids": jax.random.randint(ks[1], (bsz, 7), 0, 900),
+    }
+    if with_mask:
+        batch["mask"] = (jax.random.uniform(ks[2], (bsz, 64, 64, 1)) > 0.5
+                         ).astype(jnp.float32)
+    return batch
+
+
+def loss_kwargs(base, **over):
+    unet_p, text_p, vae_p = base
+    kw = dict(unet_params=unet_p, text_params=text_p, vae_params=vae_p,
+              unet_cfg=TINY_UNET, text_cfg=TINY_TEXT, vae_cfg=TINY_VAE,
+              sched=SCHED, cfg=LossConfig())
+    kw.update(over)
+    return kw
+
+
+def test_loss_semantics(base):
+    """One consolidated pass over the loss variants (each variant is a
+    distinct XLA graph — expensive on CPU, so batched into one test):
+    finiteness, grads flow only into trainables, mask weighting, prior
+    preservation split, v-prediction."""
+    trainable = make_trainable()
+    batch = make_batch()
+    rng = jax.random.PRNGKey(0)
+
+    loss, grads = jax.value_and_grad(
+        lambda t: loss_step(t, batch, rng, **loss_kwargs(base)))(trainable)
+    assert np.isfinite(float(loss))
+    gu = grads["lora_unet"]["sites"]
+    some_up = next(iter(gu.values()))["up"]
+    assert np.abs(np.asarray(some_up)).max() > 0
+    # down grad is zero because up is zero-init (chain rule through 0 matrix)
+    some_down = next(iter(gu.values()))["down"]
+    np.testing.assert_allclose(np.asarray(some_down), 0.0, atol=1e-8)
+
+    # mask weighting changes the value
+    l_mask = loss_step(trainable, make_batch(with_mask=True), rng,
+                       **loss_kwargs(base))
+    assert abs(float(loss) - float(l_mask)) > 1e-6
+
+    # prior preservation: weight=1 adds the class half
+    b4 = make_batch(bsz=4)
+    l_p0 = loss_step(trainable, b4, rng, **loss_kwargs(
+        base, cfg=LossConfig(with_prior_preservation=True,
+                             prior_loss_weight=0.0)))
+    l_p1 = loss_step(trainable, b4, rng, **loss_kwargs(
+        base, cfg=LossConfig(with_prior_preservation=True,
+                             prior_loss_weight=1.0)))
+    assert float(l_p1) > float(l_p0)
+
+    # v-prediction is a different target
+    sched_v = schedulers.make_schedule(prediction_type="v_prediction")
+    l_v = loss_step(trainable, batch, rng, **loss_kwargs(base, sched=sched_v))
+    assert np.isfinite(float(l_v)) and abs(float(l_v) - float(loss)) > 1e-6
+
+
+def test_train_step_descends(base):
+    trainable = make_trainable(with_ti=True)
+    ti_ids = jnp.array([998, 999])
+    opt = make_optimizer(trainable, {"lora_unet": 1e-3, "lora_text": 5e-4,
+                                     "ti": 5e-3})
+    step = make_train_step(unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+                           vae_cfg=TINY_VAE, sched=SCHED,
+                           loss_cfg=LossConfig(), optimizer=opt,
+                           ti_ids=ti_ids)
+    opt_state = opt.init(trainable)
+    batch = make_batch(bsz=2)
+    losses = []
+    for i in range(8):
+        trainable, opt_state, loss = step(trainable, opt_state, base, batch,
+                                          jax.random.PRNGKey(42))  # fixed rng
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # overfits the fixed batch/noise
+
+
+def test_grad_accum_matches_big_batch():
+    """MultiSteps(k=2) over two micro-grads == one step on their mean.
+    (Toy trainable; the contract is optimizer-level, model-free.)"""
+    trainable = {"lora_unet": {"w": jnp.ones((4, 4))}}
+    g1 = {"lora_unet": {"w": jnp.full((4, 4), 0.5)}}
+    g2 = {"lora_unet": {"w": jnp.full((4, 4), 1.5)}}
+    avg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    opt = make_optimizer(trainable, {"lora_unet": 1e-3}, grad_accum=2,
+                         max_grad_norm=None)
+    st = opt.init(trainable)
+    _, st = opt.update(g1, st, trainable)
+    up2, st = opt.update(g2, st, trainable)
+
+    opt_ref = make_optimizer(trainable, {"lora_unet": 1e-3},
+                             max_grad_norm=None)
+    up_ref, _ = opt_ref.update(avg, opt_ref.init(trainable), trainable)
+    np.testing.assert_allclose(np.asarray(up2["lora_unet"]["w"]),
+                               np.asarray(up_ref["lora_unet"]["w"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_ti_norm_prior():
+    emb = jnp.array([[3.0, 4.0], [0.1, 0.0]])  # norms 5.0, 0.1
+    out = ti_norm_prior(emb, lr=1.0, target_norm=0.4)  # lambda=1 -> exact 0.4
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    np.testing.assert_allclose(norms, [0.4, 0.4], rtol=1e-5)
+    out2 = ti_norm_prior(emb, lr=1e-3, target_norm=0.4)  # lambda=0.1
+    norms2 = np.linalg.norm(np.asarray(out2), axis=-1)
+    np.testing.assert_allclose(norms2, [5.0 + 0.1 * (0.4 - 5.0),
+                                        0.1 + 0.1 * (0.4 - 0.1)], rtol=1e-5)
+
+
+def test_lr_schedules():
+    s = make_lr_schedule("linear", 1e-3, 100, warmup_steps=10)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-5)
+    assert float(s(100)) < 2e-4
+    c = make_lr_schedule("constant", 1e-4, 100)
+    assert float(c(50)) == pytest.approx(1e-4)
+
+
+# ---------------------------------------------------------------------------
+# data parallel on the virtual mesh
+# ---------------------------------------------------------------------------
+
+def test_dp_train_step_matches_single_device(base):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(dp=8)
+    trainable = make_trainable()
+    opt = make_optimizer(trainable, {"lora_unet": 1e-3, "lora_text": 1e-3},
+                         max_grad_norm=None)
+    batch = make_batch(bsz=8, seed=13)
+    rng = jax.random.PRNGKey(3)
+
+    step1 = make_train_step(unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+                            vae_cfg=TINY_VAE, sched=SCHED,
+                            loss_cfg=LossConfig(), optimizer=opt)
+    t1, _, l1 = step1(jax.tree_util.tree_map(jnp.copy, trainable),
+                      opt.init(trainable), base, batch, rng)
+
+    stepN = make_train_step(unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+                            vae_cfg=TINY_VAE, sched=SCHED,
+                            loss_cfg=LossConfig(), optimizer=opt, mesh=mesh)
+    sharded_batch = mesh_lib.shard_batch(batch, mesh)
+    t8, _, l8 = stepN(mesh_lib.replicate_tree(
+        jax.tree_util.tree_map(jnp.copy, trainable), mesh),
+        mesh_lib.replicate_tree(opt.init(trainable), mesh),
+        base, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-4)
+    a = np.asarray(t1["lora_unet"]["sites"][next(iter(
+        t1["lora_unet"]["sites"]))]["down"])
+    b = np.asarray(t8["lora_unet"]["sites"][next(iter(
+        t8["lora_unet"]["sites"]))]["down"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fsdp_param_sharding_preserves_forward(base):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lora_tpu.models.unet import unet_forward
+
+    mesh = mesh_lib.make_mesh(dp=2, fsdp=4)
+    unet_p = base[0]
+    sharded = mesh_lib.shard_params(unet_p, mesh, use_fsdp=True)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    t = jnp.array([5, 10])
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, 7, TINY_UNET.cross_attention_dim))
+    out_ref = unet_forward(unet_p, sample, t, ctx, TINY_UNET)
+    out_sh = unet_forward(sharded, sample, t, ctx, TINY_UNET)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh),
+                               rtol=2e-4, atol=1e-5)
