@@ -116,6 +116,14 @@ def _color_jitter(arr: np.ndarray, rng: random.Random,
     return np.clip((out - mean) * c + mean, 0.0, 1.0)
 
 
+def _native_imgops():
+    if os.environ.get("LORA_TPU_NATIVE_IMGOPS") != "1":
+        return None
+    from ..native.build import get_imgops
+
+    return get_imgops()
+
+
 def load_image_norm(path_or_img, size: int, resize: bool = True,
                     color_jitter: bool = False,
                     rng: Optional[random.Random] = None) -> np.ndarray:
@@ -124,6 +132,16 @@ def load_image_norm(path_or_img, size: int, resize: bool = True,
            else path_or_img)
     if img.mode not in ("RGB", "L"):
         img = img.convert("RGB")
+    if resize and not color_jitter:
+        # native fused resize+crop+normalize (opt-in: LORA_TPU_NATIVE_IMGOPS=1)
+        mod = _native_imgops()
+        if mod is not None:
+            arr = np.asarray(img, np.uint8)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            h, w, c = arr.shape
+            out = mod.resize_crop_normalize(arr.tobytes(), h, w, c, size)
+            return np.frombuffer(out, np.float32).reshape(size, size, c).copy()
     if resize:
         img = _resize_short(img, size)
     arr = np.asarray(img, np.float32) / 255.0
@@ -138,6 +156,11 @@ def load_image_norm(path_or_img, size: int, resize: bool = True,
 def _get_cutout_holes(height, width, rng: random.Random, min_holes=8,
                       max_holes=32, min_height=16, max_height=128,
                       min_width=16, max_width=128):
+    # clamp hole extents to the image (the reference assumes 512px inputs)
+    max_height = min(max_height, height)
+    max_width = min(max_width, width)
+    min_height = min(min_height, max_height)
+    min_width = min(min_width, max_width)
     holes = []
     for _ in range(rng.randint(min_holes, max_holes)):
         hh = rng.randint(min_height, max_height)
@@ -360,6 +383,32 @@ class DreamBoothDataset:
             ex["class_images"] = cimg
             ex["class_prompt_ids"] = self.tokenizer(
                 [self.class_prompt])["input_ids"][0]
+        return ex
+
+
+class DreamBoothTiDataset(DreamBoothDataset):
+    """Legacy TI+LoRA dataset (train_lora_w_ti.py DreamBoothTiDataset):
+    templated captions around the placeholder token with stochastic
+    attribute augmentation — a random subset of `stochastic_attribute`,
+    shuffled, comma-joined after the token (train_lora_w_ti.py:222-227)."""
+
+    def __init__(self, *args, placeholder_token: str = "<s>",
+                 learnable_property: str = "object",
+                 stochastic_attribute: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.placeholder_token = placeholder_token
+        self.templates = TEMPLATE_MAP[learnable_property]
+        self.stochastic_attribute = (
+            stochastic_attribute.split(",") if stochastic_attribute else [])
+
+    def __getitem__(self, index):
+        ex = super().__getitem__(index)
+        attrs = [a for a in self.stochastic_attribute
+                 if self.rng.random() < 0.5]
+        self.rng.shuffle(attrs)
+        text = self.rng.choice(self.templates).format(
+            ", ".join([self.placeholder_token] + attrs))
+        ex["instance_prompt_ids"] = self.tokenizer([text])["input_ids"][0]
         return ex
 
 

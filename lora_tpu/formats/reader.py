@@ -155,7 +155,11 @@ def save_file(
     blobs: List[bytes] = []
     offset = 0
     for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr)
+        arr = np.asarray(arr)
+        if not arr.flags["C_CONTIGUOUS"]:
+            # note: ascontiguousarray promotes 0-d to 1-d, so only call it
+            # when actually needed (0-d is always contiguous)
+            arr = np.ascontiguousarray(arr)
         if arr.dtype.name == "bfloat16":  # ml_dtypes / jax bfloat16
             st_dtype = "BF16"
             raw = arr.view(np.uint16)

@@ -210,9 +210,18 @@ def unet_forward(
     encoder_hidden_states: jax.Array,  # (B, S, cross_dim)
     cfg: UNetConfig,
     lora=None,
+    remat: bool = False,
 ) -> jax.Array:
     dt = sample.dtype
     c0 = cfg.block_out_channels[0]
+
+    # gradient checkpointing: rematerialize each resnet/transformer block in
+    # the backward pass (reference enable_gradient_checkpointing,
+    # train_lora_dreambooth.py:627-630) — trades FLOPs for HBM
+    resnet_fn, transformer_fn = _resnet, _transformer
+    if remat:
+        resnet_fn = jax.checkpoint(_resnet, static_argnums=(1, 4, 5))
+        transformer_fn = jax.checkpoint(_transformer, static_argnums=(1, 4, 5))
 
     temb = timestep_embedding(
         timesteps, c0, flip_sin_to_cos=cfg.flip_sin_to_cos,
@@ -227,9 +236,9 @@ def unet_forward(
     for i, block in enumerate(structure.down_blocks(cfg)):
         pre = f"down_blocks.{i}"
         for j, res in enumerate(block.resnets):
-            h = _resnet(params, f"{pre}.resnets.{j}", h, temb, cfg, res, lora)
+            h = resnet_fn(params, f"{pre}.resnets.{j}", h, temb, cfg, res, lora)
             if block.attentions[j] is not None:
-                h = _transformer(params, f"{pre}.attentions.{j}", h,
+                h = transformer_fn(params, f"{pre}.attentions.{j}", h,
                                  encoder_hidden_states, cfg,
                                  block.attentions[j], lora)
             skips.append(h)
@@ -239,19 +248,19 @@ def unet_forward(
             skips.append(h)
 
     mid = structure.mid_block(cfg)
-    h = _resnet(params, "mid_block.resnets.0", h, temb, cfg, mid.resnets[0], lora)
-    h = _transformer(params, "mid_block.attentions.0", h, encoder_hidden_states,
+    h = resnet_fn(params, "mid_block.resnets.0", h, temb, cfg, mid.resnets[0], lora)
+    h = transformer_fn(params, "mid_block.attentions.0", h, encoder_hidden_states,
                      cfg, mid.attentions[0], lora)
-    h = _resnet(params, "mid_block.resnets.1", h, temb, cfg, mid.resnets[1], lora)
+    h = resnet_fn(params, "mid_block.resnets.1", h, temb, cfg, mid.resnets[1], lora)
 
     for i, block in enumerate(structure.up_blocks(cfg)):
         pre = f"up_blocks.{i}"
         for j, res in enumerate(block.resnets):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet(params, f"{pre}.resnets.{j}", h, temb, cfg, res, lora)
+            h = resnet_fn(params, f"{pre}.resnets.{j}", h, temb, cfg, res, lora)
             if block.attentions[j] is not None:
-                h = _transformer(params, f"{pre}.attentions.{j}", h,
+                h = transformer_fn(params, f"{pre}.attentions.{j}", h,
                                  encoder_hidden_states, cfg,
                                  block.attentions[j], lora)
         if block.has_upsample:

@@ -28,8 +28,20 @@ def _xla_attention(q, k, v, scale: float, causal_mask: Optional[jax.Array]):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+_FLASH_ENABLED = True
+
+
+def set_use_memory_efficient_attention(enabled: bool) -> None:
+    """Global toggle for the Pallas flash-attention path — the counterpart
+    of the reference's xformers switch (xformers_utils.py:42-70; here
+    support is shape-based via flash_attention.supported, no probe kernels
+    needed)."""
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = enabled
+
+
 def _use_flash(q, k) -> bool:
-    if os.environ.get("LORA_TPU_DISABLE_FLASH"):
+    if not _FLASH_ENABLED or os.environ.get("LORA_TPU_DISABLE_FLASH"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

@@ -290,3 +290,53 @@ class StableDiffusionPipeline:
             num_inference_steps, use_cfg)
         images = vae_decode(self.vae_params, latents, self.vae_cfg)
         return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
+
+    def inpaint(
+        self,
+        prompt: Union[str, Sequence[str]],
+        image: jax.Array,        # (B,H,W,3) in [-1,1]
+        mask: jax.Array,         # (B,H,W,1) in {0,1}; 1 = repaint
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Union[str, Sequence[str]] = "",
+        rng: Optional[jax.Array] = None,
+    ):
+        """9-channel SD-inpainting sampling (runwayml/sd-inpainting layout):
+        unet input = [noisy latents | downsampled mask | masked-image
+        latents] — the inference counterpart of train_inpainting
+        (cli_lora_pti.py:306-312)."""
+        assert self.unet_cfg.in_channels == 9, (
+            "inpaint() needs an inpainting UNet (in_channels=9), got "
+            f"{self.unet_cfg.in_channels}")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_enc, k_lat = jax.random.split(rng)
+        masked = image * (mask < 0.5)
+        masked_latents = vae_encode(self.vae_params,
+                                    masked.astype(self.dtype), self.vae_cfg,
+                                    k_enc)
+        h, w = masked_latents.shape[1:3]
+        ys = (jnp.arange(h) * (mask.shape[1] / h)).astype(jnp.int32)
+        xs = (jnp.arange(w) * (mask.shape[2] / w)).astype(jnp.int32)
+        mask_small = mask[:, ys][:, :, xs].astype(self.dtype)
+        extra = jnp.concatenate([mask_small, masked_latents], axis=-1)
+
+        latents = jax.random.normal(
+            k_lat, (B, h, w, self.unet_cfg.out_channels), self.dtype)
+        text_emb = self.encode_prompt(prompts)
+        use_cfg = guidance_scale > 1.0
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                  else text_emb)
+        ts = jnp.asarray(
+            schedulers.ddim_timesteps(self.schedule, num_inference_steps),
+            jnp.int32)
+        latents = _denoise_loop(
+            self.unet_params, self.lora_unet, latents, text_emb, uncond,
+            jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
+            jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
+            num_inference_steps, use_cfg, extra_channels=extra)
+        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))

@@ -53,6 +53,7 @@ class DreamBoothConfig:
     max_train_steps: int = 800
     save_steps: int = 500
     gradient_accumulation_steps: int = 1
+    gradient_checkpointing: bool = False
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 0
     max_grad_norm: float = 1.0
@@ -62,6 +63,8 @@ class DreamBoothConfig:
     h_flip: bool = False
     resume_unet: Optional[str] = None
     resume_text_encoder: Optional[str] = None
+    resume_state: Optional[str] = None  # full train-state checkpoint
+    save_train_state: bool = False
     output_format: str = "both"  # pt | safe | both
     mixed_precision: Optional[str] = None  # None | "bf16"
     cached_latents: bool = False
@@ -157,6 +160,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         cached_latents=False,
         with_prior_preservation=cfg.with_prior_preservation,
         prior_loss_weight=cfg.prior_loss_weight,
+        gradient_checkpointing=cfg.gradient_checkpointing,
     )
     step_fn = make_train_step(
         unet_cfg=pipe.unet_cfg, text_cfg=pipe.text_cfg, vae_cfg=pipe.vae_cfg,
@@ -185,10 +189,19 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                      save_ti=False, safe_form=False)
 
     rng = jax.random.PRNGKey(cfg.seed + 7)
+    start_step = 0
+    if cfg.resume_state:
+        from .checkpoint import load_train_state
+
+        trainable, opt_state, start_step, rng = load_train_state(
+            cfg.resume_state, trainable, opt_state)
+        print(f"Resumed full train state at step {start_step}")
+
     t_start = time.perf_counter()
-    global_step = 0
+    global_step = start_step
     micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
-    for micro in range(micro_steps):
+    for micro in range(start_step * cfg.gradient_accumulation_steps,
+                       micro_steps):
         batch = next(loader)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
@@ -203,6 +216,12 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                         sps=global_step / (time.perf_counter() - t_start))
             if cfg.save_steps and global_step % cfg.save_steps == 0:
                 save(str(global_step))
+                if cfg.save_train_state:
+                    from .checkpoint import save_train_state as _sts
+
+                    _sts(os.path.join(cfg.output_dir,
+                                      "train_state.safetensors"),
+                         trainable, opt_state, global_step, rng)
                 print("moved:",
                       json.dumps({k: round(v[0], 6) for k, v in list(
                           lora_core.inspect_lora(

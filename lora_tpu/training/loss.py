@@ -35,6 +35,7 @@ class LossConfig:
     with_prior_preservation: bool = False
     prior_loss_weight: float = 1.0
     lora_dropout_p: float = 0.0
+    gradient_checkpointing: bool = False
 
 
 def _resize_mask_nearest(mask: jax.Array, h: int, w: int) -> jax.Array:
@@ -104,7 +105,8 @@ def loss_step(
         lora_unet = {**lora_unet, "rng": k_drop,
                      "dropout_p": cfg.lora_dropout_p}
     model_pred = unet_forward(unet_params, model_input, timesteps,
-                              encoder_hidden, unet_cfg, lora=lora_unet)
+                              encoder_hidden, unet_cfg, lora=lora_unet,
+                              remat=cfg.gradient_checkpointing)
 
     if sched.prediction_type == "epsilon":
         target = noise

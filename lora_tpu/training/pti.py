@@ -59,6 +59,7 @@ class PTIConfig:
     max_train_steps_ti: int = 1000
     save_steps: int = 100
     gradient_accumulation_steps: int = 4
+    gradient_checkpointing: bool = False
     lora_rank: int = 4
     lora_unet_target_modules: frozenset = frozenset(
         {"CrossAttention", "Attention", "GEGLU"})
@@ -309,7 +310,8 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                      embeds=embeds_dict(tr["ti"]["embeds"]), save_lora=False)
 
         loss_cfg = LossConfig(cached_latents=cfg.cached_latents,
-                              train_inpainting=cfg.train_inpainting)
+                              train_inpainting=cfg.train_inpainting,
+                              gradient_checkpointing=cfg.gradient_checkpointing)
         trainable, inv_loss = run_phase(
             trainable, {"ti": ti_sched}, cfg.max_train_steps_ti, loss_cfg,
             "inversion", save_inv, apply_norm_prior=True,
@@ -359,7 +361,8 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                           train_inpainting=cfg.train_inpainting,
                           t_multiplier=0.8,
                           mask_temperature=cfg.mask_temperature,
-                          lora_dropout_p=cfg.lora_dropout_p)
+                          lora_dropout_p=cfg.lora_dropout_p,
+                          gradient_checkpointing=cfg.gradient_checkpointing)
     trainable, tune_loss = run_phase(
         trainable, lrs, cfg.max_train_steps_tuning, loss_cfg, "tune",
         save_tune, apply_norm_prior=False)
