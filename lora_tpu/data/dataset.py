@@ -418,16 +418,22 @@ class DreamBoothTiDataset(DreamBoothDataset):
 
 def data_loader(dataset, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = True,
-                prior_preservation: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+                prior_preservation: bool = False,
+                process_index: int = 0,
+                process_count: int = 1) -> Iterator[Dict[str, np.ndarray]]:
     """Endless batch iterator. With prior_preservation, instance and class
     halves are concatenated [instance | class] (the reference collate,
-    train_lora_dreambooth.py:693-726)."""
+    train_lora_dreambooth.py:693-726). process_index/count shard the sample
+    stream per host for multi-host training — the DistributedSampler
+    replacement (SURVEY §5)."""
     rng = random.Random(seed)
     n = len(dataset)
     while True:
         idxs = list(range(n))
         if shuffle:
             rng.shuffle(idxs)
+        if process_count > 1:
+            idxs = idxs[process_index::process_count] or idxs[:1]
         for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
             chunk = [dataset[i] for i in idxs[s : s + batch_size]]
             if len(chunk) < batch_size and drop_last:

@@ -137,6 +137,113 @@ def ddim_step(
 
 
 # ---------------------------------------------------------------------------
+# PNDM (PLMS with skipped PRK warmup) — SD-1.x's default inference sampler
+# ---------------------------------------------------------------------------
+
+def pndm_timesteps(sched: NoiseSchedule, num_inference_steps: int) -> np.ndarray:
+    """Descending PLMS timestep list; the second-highest step is visited
+    twice for the pseudo-improved-Euler warmup (skip_prk_steps behavior)."""
+    ratio = sched.num_train_timesteps // num_inference_steps
+    ts = (np.arange(num_inference_steps) * ratio).round().astype(np.int64)
+    ts = ts + sched.steps_offset
+    plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1]
+    return plms.copy()
+
+
+def pndm_init_state(latent_shape, dtype=jnp.float32):
+    return {
+        "ets": jnp.zeros((4,) + tuple(latent_shape), dtype),
+        "n_ets": jnp.zeros((), jnp.int32),
+        "counter": jnp.zeros((), jnp.int32),
+        "cur_sample": jnp.zeros(latent_shape, dtype),
+    }
+
+
+def _pndm_prev_sample(sched, sample, t, prev_t, eps):
+    a_t = sched.alphas_cumprod[t]
+    a_prev = jnp.where(prev_t >= 0,
+                       sched.alphas_cumprod[jnp.maximum(prev_t, 0)],
+                       sched.final_alpha_cumprod)
+    b_t = 1.0 - a_t
+    b_prev = 1.0 - a_prev
+    sample_coeff = jnp.sqrt(a_prev / a_t)
+    denom = a_t * jnp.sqrt(b_prev) + jnp.sqrt(a_t * b_t * a_prev)
+    return (sample_coeff * sample
+            - (a_prev - a_t) * eps / denom).astype(sample.dtype)
+
+
+def pndm_step(sched: NoiseSchedule, state: dict, model_out: jax.Array,
+              t: jax.Array, sample: jax.Array, ratio: int):
+    """One PLMS step. `t` comes from pndm_timesteps; all state is carried
+    in fixed-shape arrays (jit/scan-safe)."""
+    eps = model_out.astype(jnp.float32)
+    x = sample.astype(jnp.float32)
+    counter = state["counter"]
+    is_warm2 = counter == 1  # second visit of the duplicated timestep
+
+    # push eps into the ets ring unless on the warmup-average call
+    ets = jnp.where(is_warm2, state["ets"],
+                    jnp.concatenate([eps[None], state["ets"][:-1]], 0))
+    n_ets = jnp.where(is_warm2, state["n_ets"],
+                      jnp.minimum(state["n_ets"] + 1, 4))
+
+    e1, e2, e3, e4 = ets[0], ets[1], ets[2], ets[3]
+    combos = jnp.stack([
+        e1,                                               # 1 point
+        (3 * e1 - e2) / 2,                                # 2 points
+        (23 * e1 - 16 * e2 + 5 * e3) / 12,                # 3 points
+        (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24,      # AB4
+    ])
+    eps_ms = combos[jnp.clip(n_ets, 1, 4) - 1]
+    # warmup second call: average of fresh eps and the stored one, applied
+    # from the saved sample at the original (higher) timestep
+    eps_use = jnp.where(is_warm2, (eps + e1) / 2.0, eps_ms)
+    x_use = jnp.where(is_warm2, state["cur_sample"], x)
+    t_use = jnp.where(is_warm2, t + ratio, t)
+
+    prev = _pndm_prev_sample(sched, x_use, t_use, t_use - ratio, eps_use)
+    new_state = {
+        "ets": ets,
+        "n_ets": n_ets,
+        "counter": counter + 1,
+        "cur_sample": jnp.where(counter == 0, x, state["cur_sample"]),
+    }
+    return prev.astype(sample.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
+# Euler discrete (k-diffusion style)
+# ---------------------------------------------------------------------------
+
+def euler_sigmas(sched: NoiseSchedule, num_inference_steps: int) -> np.ndarray:
+    """(S+1,) descending sigmas incl. terminal 0; linspace-interpolated over
+    the training sigmas."""
+    a = np.asarray(sched.alphas_cumprod, np.float64)
+    sig_all = ((1 - a) / a) ** 0.5
+    ts = np.linspace(0, sched.num_train_timesteps - 1, num_inference_steps,
+                     dtype=np.float64)[::-1]
+    sig = np.interp(ts, np.arange(len(sig_all)), sig_all)
+    return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def euler_timesteps(sched: NoiseSchedule, num_inference_steps: int) -> np.ndarray:
+    return np.linspace(0, sched.num_train_timesteps - 1, num_inference_steps
+                       )[::-1].round().astype(np.int64).copy()
+
+
+def euler_scale_model_input(sample: jax.Array, sigma) -> jax.Array:
+    return (sample / jnp.sqrt(sigma**2 + 1.0).astype(sample.dtype))
+
+
+def euler_step(sample: jax.Array, eps: jax.Array, sigma, sigma_next) -> jax.Array:
+    """Deterministic Euler step in sigma space (epsilon prediction)."""
+    x = sample.astype(jnp.float32)
+    denoised = x - sigma * eps.astype(jnp.float32)
+    d = (x - denoised) / sigma
+    return (x + d * (sigma_next - sigma)).astype(sample.dtype)
+
+
+# ---------------------------------------------------------------------------
 # DDPM ancestral sampler (training-schedule sampling / eval)
 # ---------------------------------------------------------------------------
 

@@ -43,7 +43,7 @@ Params = Dict[str, jax.Array]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("unet_cfg", "num_inference_steps", "use_cfg"),
+    static_argnames=("unet_cfg", "num_inference_steps", "use_cfg", "method"),
 )
 def _denoise_loop(
     unet_params: Params,
@@ -58,34 +58,71 @@ def _denoise_loop(
     unet_cfg: UNetConfig,
     num_inference_steps: int,
     use_cfg: bool,
+    method: str = "ddim",
     extra_channels: Optional[jax.Array] = None,
+    sigmas: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """DDIM denoise loop under one jit. ts: (S,) int32 descending."""
+    """Denoise loop under one jit (ddim | pndm | euler).
+    ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate)."""
     sched = schedulers.NoiseSchedule(
         num_train_timesteps=1000, alphas_cumprod=sched_alphas,
         final_alpha_cumprod=final_alpha,
     )
     ctx = jnp.concatenate([uncond_emb, text_emb], 0) if use_cfg else text_emb
-
     step_delta = 1000 // num_inference_steps
 
-    def body(i, lat):
-        t = ts[i]
-        inp = lat
+    def eps_at(lat, t, scale_in=None):
+        inp = lat if scale_in is None else scale_in
         if extra_channels is not None:
-            inp = jnp.concatenate([lat, extra_channels], axis=-1)
+            inp = jnp.concatenate([inp, extra_channels], axis=-1)
         model_in = jnp.concatenate([inp, inp], 0) if use_cfg else inp
-        B = lat.shape[0]
         tt = jnp.full((model_in.shape[0],), t, jnp.int32)
         out = unet_forward(unet_params, model_in, tt, ctx, unet_cfg,
                            lora=lora_unet)
         if use_cfg:
+            B = lat.shape[0]
             u, c = out[:B], out[B:]
             out = u + guidance_scale.astype(out.dtype) * (c - u)
-        return schedulers.ddim_step(sched, out, jnp.full((B,), t, jnp.int32),
-                                    lat, jnp.full((B,), t - step_delta, jnp.int32))
+        return out
 
-    return jax.lax.fori_loop(0, ts.shape[0], body, latents)
+    B = latents.shape[0]
+
+    if method == "ddim":
+        def body(i, lat):
+            t = ts[i]
+            out = eps_at(lat, t)
+            return schedulers.ddim_step(
+                sched, out, jnp.full((B,), t, jnp.int32), lat,
+                jnp.full((B,), t - step_delta, jnp.int32))
+
+        return jax.lax.fori_loop(0, ts.shape[0], body, latents)
+
+    if method == "pndm":
+        state0 = schedulers.pndm_init_state(latents.shape)
+
+        def body(i, carry):
+            lat, state = carry
+            t = ts[i]
+            out = eps_at(lat, t)
+            lat, state = schedulers.pndm_step(sched, state, out, t, lat,
+                                              step_delta)
+            return lat, state
+
+        latents, _ = jax.lax.fori_loop(0, ts.shape[0], body,
+                                       (latents, state0))
+        return latents
+
+    if method == "euler":
+        def body(i, lat):
+            t = ts[i]
+            sigma = sigmas[i]
+            scaled = schedulers.euler_scale_model_input(lat, sigma)
+            out = eps_at(lat, t, scale_in=scaled)
+            return schedulers.euler_step(lat, out, sigma, sigmas[i + 1])
+
+        return jax.lax.fori_loop(0, ts.shape[0], body, latents)
+
+    raise ValueError(f"unknown scheduler method {method}")
 
 
 @dataclasses.dataclass
@@ -216,6 +253,22 @@ class StableDiffusionPipeline:
         return jax.random.normal(rng, shape, self.dtype)
 
     # -- sampling -----------------------------------------------------------
+    def _scheduler_arrays(self, method: str, num_inference_steps: int):
+        if method == "ddim":
+            ts = schedulers.ddim_timesteps(self.schedule, num_inference_steps)
+            sigmas = None
+        elif method == "pndm":
+            ts = schedulers.pndm_timesteps(self.schedule, num_inference_steps)
+            sigmas = None
+        elif method == "euler":
+            ts = schedulers.euler_timesteps(self.schedule,
+                                            num_inference_steps)
+            sigmas = jnp.asarray(
+                schedulers.euler_sigmas(self.schedule, num_inference_steps))
+        else:
+            raise ValueError(f"unknown scheduler {method}")
+        return jnp.asarray(ts, jnp.int32), sigmas
+
     def __call__(
         self,
         prompt: Union[str, Sequence[str]],
@@ -227,6 +280,7 @@ class StableDiffusionPipeline:
         rng: Optional[jax.Array] = None,
         latents: Optional[jax.Array] = None,
         return_latents: bool = False,
+        scheduler: str = "ddim",
     ):
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
@@ -239,14 +293,15 @@ class StableDiffusionPipeline:
         if latents is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = self.prepare_latents(B, height, width, rng)
-        ts = jnp.asarray(
-            schedulers.ddim_timesteps(self.schedule, num_inference_steps),
-            jnp.int32)
+        ts, sigmas = self._scheduler_arrays(scheduler, num_inference_steps)
+        if scheduler == "euler":
+            # latents are unit-variance noise; euler starts at sigma_max
+            latents = latents * sigmas[0].astype(latents.dtype)
         latents = _denoise_loop(
             self.unet_params, self.lora_unet, latents, text_emb, uncond,
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
-            num_inference_steps, use_cfg)
+            num_inference_steps, use_cfg, method=scheduler, sigmas=sigmas)
         images = vae_decode(self.vae_params, latents, self.vae_cfg)
         images = np.asarray(
             jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))

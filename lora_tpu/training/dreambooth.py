@@ -58,6 +58,7 @@ class DreamBoothConfig:
     lr_warmup_steps: int = 0
     max_grad_norm: float = 1.0
     adam_weight_decay: float = 1e-2
+    use_8bit_adam: bool = False  # -> bf16 Adam moments (optax mu_dtype)
     seed: int = 0
     color_jitter: bool = False
     h_flip: bool = False
@@ -150,7 +151,8 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     opt = make_optimizer(trainable, lrs,
                          weight_decay=cfg.adam_weight_decay,
                          max_grad_norm=cfg.max_grad_norm,
-                         grad_accum=cfg.gradient_accumulation_steps)
+                         grad_accum=cfg.gradient_accumulation_steps,
+                         low_memory=cfg.use_8bit_adam)
 
     mesh = None
     if cfg.data_parallel and len(jax.devices()) > 1:

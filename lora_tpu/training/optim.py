@@ -49,15 +49,20 @@ def make_optimizer(
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
     grad_accum: int = 1,
+    low_memory: bool = False,
 ) -> optax.GradientTransformation:
     """lrs: {"lora_unet": lr, "lora_text": lr, "ti": lr} — groups absent from
     `trainable` are ignored. TI gets no weight decay (the reference uses its
-    norm prior instead, cli_lora_pti.py:448-469)."""
+    norm prior instead, cli_lora_pti.py:448-469). low_memory stores Adam's
+    first moment in bf16 — the TPU stand-in for the reference's optional
+    bitsandbytes AdamW8bit (train_lora_dreambooth.py:641-651)."""
+    import jax.numpy as jnp
 
     def group(name):
         lr = lrs[name]
         return optax.adamw(
             learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps,
+            mu_dtype=jnp.bfloat16 if low_memory else None,
             weight_decay=0.0 if name == "ti" else weight_decay)
 
     transforms = {k: group(k) for k in trainable.keys()}

@@ -105,6 +105,36 @@ def text_img_alignment(img_embeds, text_embeds, target_img_embeds):
             "image_alignment_avg": img_alignment}
 
 
+def clip_alignment_scores_jax(gen_images, prompts, target_images,
+                              clip_params, vision_cfg, text_cfg,
+                              tokenizer) -> Dict[str, float]:
+    """Text/image alignment with the in-framework JAX CLIP
+    (models/clip_vision.py) — no torch in the scoring path."""
+    import jax.numpy as jnp
+
+    from ..models.clip_vision import (
+        get_image_features,
+        get_text_features,
+        preprocess_images,
+    )
+
+    def norm(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    img_e = norm(get_image_features(
+        clip_params, preprocess_images(gen_images, vision_cfg.image_size),
+        vision_cfg))
+    ids = jnp.asarray(tokenizer(prompts)["input_ids"])
+    txt_e = norm(get_text_features(clip_params, ids, text_cfg))
+    tgt_e = norm(get_image_features(
+        clip_params, preprocess_images(target_images, vision_cfg.image_size),
+        vision_cfg))
+    return {
+        "text_alignment_avg": float((img_e @ txt_e.T).mean()),
+        "image_alignment_avg": float((img_e @ tgt_e.T).mean()),
+    }
+
+
 def evaluate_pipe(
     pipe,
     target_images: List[Image.Image],

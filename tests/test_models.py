@@ -190,6 +190,59 @@ def test_add_noise_and_velocity_identities():
                                atol=1e-4)
 
 
+def test_pndm_prev_sample_line_invariant():
+    """The PLMS transfer keeps x on the (x0, eps) line: feeding the true
+    eps moves sqrt(a_t)x0+sqrt(1-a_t)e to sqrt(a_p)x0+sqrt(1-a_p)e."""
+    s = schedulers.make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 2))
+    t, prev_t = jnp.array(801), jnp.array(701)
+    a_t = s.alphas_cumprod[t]
+    a_p = s.alphas_cumprod[prev_t]
+    xt = jnp.sqrt(a_t) * x0 + jnp.sqrt(1 - a_t) * eps
+    out = schedulers._pndm_prev_sample(s, xt, t, prev_t, eps)
+    expect = jnp.sqrt(a_p) * x0 + jnp.sqrt(1 - a_p) * eps
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pndm_full_chain_oracle():
+    """Full PLMS chain (with warmup duplicate + multistep combos) under a
+    constant-eps oracle lands on the final-alpha endpoint."""
+    s = schedulers.make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 2))
+    n = 10
+    ts = schedulers.pndm_timesteps(s, n)
+    assert len(ts) == n + 1 and ts[0] > ts[-1]
+    ratio = s.num_train_timesteps // n
+    xt = schedulers.add_noise(s, x0, eps, jnp.array([int(ts[0])]))
+    state = schedulers.pndm_init_state(xt.shape)
+    for t in ts:
+        a = s.alphas_cumprod[int(t)]
+        oracle = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        xt, state = schedulers.pndm_step(s, state, oracle, jnp.array(int(t)),
+                                         xt, ratio)
+    a0 = s.final_alpha_cumprod
+    expect = np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(xt), expect, rtol=5e-3, atol=5e-4)
+
+
+def test_euler_oracle_recovers_x0():
+    s = schedulers.make_schedule()
+    sigmas = schedulers.euler_sigmas(s, 8)
+    assert sigmas[-1] == 0.0 and sigmas[0] > sigmas[1]
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 2))
+    x = x0 + float(sigmas[0]) * eps
+    for i in range(8):
+        oracle = (x - x0) / float(sigmas[i])
+        x = schedulers.euler_step(x, oracle, float(sigmas[i]),
+                                  float(sigmas[i + 1]))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_ddim_deterministic_denoise():
     """DDIM with a perfect eps-oracle recovers x0 exactly in one step chain."""
     s = schedulers.make_schedule()

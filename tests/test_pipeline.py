@@ -122,6 +122,21 @@ def test_ti_token_changes_output(pipe, tmp_path):
     assert np.abs(img_tok - img_plain).max() > 1e-5
 
 
+def test_alternate_schedulers_run(pipe):
+    lat = pipe.prepare_latents(1, 64, 64, jax.random.PRNGKey(11))
+    a = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
+             scheduler="pndm")
+    b = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
+             scheduler="euler")
+    c = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
+             scheduler="ddim")
+    for img in (a, b, c):
+        assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
+    # different samplers produce different (but close-family) outputs
+    assert np.abs(a - c).max() > 1e-6
+    assert np.abs(b - c).max() > 1e-6
+
+
 def test_img2img_runs(pipe):
     init = jnp.zeros((1, 64, 64, 3)) + 0.1
     out = pipe.img2img("a cat", init, strength=0.5, num_inference_steps=4,
