@@ -214,7 +214,12 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         if (micro + 1) % cfg.gradient_accumulation_steps == 0:
             global_step += 1
             if global_step % 10 == 0 or global_step == 1:
-                log.log(step=global_step, loss=float(loss),
+                lf = float(loss)
+                if not np.isfinite(lf):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step} — check LR "
+                        "(reference guidance: ~1e-4 for LoRA) / data")
+                log.log(step=global_step, loss=lf,
                         sps=global_step / (time.perf_counter() - t_start))
             if cfg.save_steps and global_step % cfg.save_steps == 0:
                 save(str(global_step))

@@ -287,8 +287,12 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                     trainable["ti"]["embeds"] = ti_norm_prior(
                         trainable["ti"]["embeds"], lr_now)
                 if global_step % 20 == 0 or global_step == 1:
-                    log.log(phase=phase_name, step=global_step,
-                            loss=float(loss),
+                    lf = float(loss)
+                    if not np.isfinite(lf):
+                        raise FloatingPointError(
+                            f"non-finite loss in {phase_name} at step "
+                            f"{global_step}")
+                    log.log(phase=phase_name, step=global_step, loss=lf,
                             sps=global_step / (time.perf_counter() - t0))
                 if cfg.save_steps and global_step % cfg.save_steps == 0:
                     save_fn(trainable, global_step)
@@ -356,6 +360,32 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                  embeds=emb, save_ti=emb is not None,
                  target_replace_module_unet=unet_targets,
                  target_replace_module_text=set(cfg.lora_clip_target_modules))
+        if cfg.log_wandb and name is None:
+            # CLIP-alignment eval at save intervals (cli_lora_pti.py:527-539)
+            try:
+                import dataclasses as _dc
+
+                from PIL import Image as _Image
+
+                from ..utils.eval import evaluate_pipe, prepare_clip_model_sets
+
+                p_eval = _dc.replace(pipe)
+                p_eval.lora_unet = tr.get("lora_unet")
+                p_eval.lora_text = tr.get("lora_text")
+                if emb:
+                    p_eval.apply_ti(emb)
+                targets = [
+                    _Image.open(os.path.join(cfg.instance_data_dir, f))
+                    for f in os.listdir(cfg.instance_data_dir)
+                    if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+                scores = evaluate_pipe(
+                    p_eval, targets, class_token="".join(initializer_tokens),
+                    learnt_token="".join(placeholder_tokens),
+                    clip_model_sets=prepare_clip_model_sets(),
+                    n_test=4, n_step=20)
+                log.log(phase="eval", step=step, **scores)
+            except Exception as e:  # eval must never kill training
+                print(f"eval skipped: {e}")
 
     loss_cfg = LossConfig(cached_latents=cfg.cached_latents,
                           train_inpainting=cfg.train_inpainting,

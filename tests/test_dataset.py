@@ -1,0 +1,139 @@
+"""Data layer: captions, token maps, masks, templates, loaders."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lora_tpu.data.dataset import (
+    DreamBoothTiDataset,
+    OBJECT_TEMPLATE,
+    PivotalTuningDataset,
+    STYLE_TEMPLATE,
+    data_loader,
+    generate_random_mask,
+    load_image_norm,
+)
+from lora_tpu.data.tokenizer import CLIPTokenizer
+
+
+@pytest.fixture()
+def tok():
+    return CLIPTokenizer(vocab_size=1000)
+
+
+def make_images(d, names):
+    rs = np.random.RandomState(0)
+    for n in names:
+        Image.fromarray((rs.rand(80, 80, 3) * 255).astype(np.uint8)).save(
+            d / n)
+
+
+def test_filename_captions_and_token_map(tmp_path, tok):
+    make_images(tmp_path, ["a red sks dog.jpg", "sks dog at beach.jpg"])
+    ds = PivotalTuningDataset(str(tmp_path), tok,
+                              token_map={"sks": "<s1><s2>"}, size=64, seed=0,
+                              h_flip=False)
+    texts = {ds[i]["text"] for i in range(4)}
+    assert texts == {"a red <s1><s2> dog", "<s1><s2> dog at beach"}
+
+
+def test_template_captions(tmp_path, tok):
+    make_images(tmp_path, ["x.jpg"])
+    ds = PivotalTuningDataset(str(tmp_path), tok,
+                              token_map={"DUMMY": "<tok>"},
+                              use_template="object", size=64, seed=3)
+    for i in range(5):
+        t = ds[i]["text"]
+        assert "<tok>" in t
+        assert any(t == tpl.format("<tok>") for tpl in OBJECT_TEMPLATE)
+
+
+def test_mask_captioned_layout(tmp_path, tok):
+    rs = np.random.RandomState(1)
+    for i in range(2):
+        Image.fromarray((rs.rand(80, 80, 3) * 255).astype(np.uint8)).save(
+            tmp_path / f"{i}.src.jpg")
+        Image.fromarray((rs.rand(80, 80) * 255).astype(np.uint8), "L").save(
+            tmp_path / f"{i}.mask.png")
+    (tmp_path / "caption.txt").write_text("first caption\nsecond caption\n")
+    ds = PivotalTuningDataset(str(tmp_path), tok, use_mask_captioned_data=True,
+                              size=64, seed=0, h_flip=False)
+    ex = ds[0]
+    assert ex["text"] == "first caption"
+    # mask transform: normalized then *0.5 + 1.0 -> range [0.5, 1.5]
+    assert 0.45 <= ex["mask"].min() and ex["mask"].max() <= 1.55
+    assert ex["mask"].shape == (64, 64, 1)
+
+
+def test_inpainting_masks(tmp_path, tok):
+    make_images(tmp_path, ["a.jpg"])
+    ds = PivotalTuningDataset(str(tmp_path), tok, token_map={"DUMMY": "<t>"},
+                              use_template="null", size=64,
+                              train_inpainting=True, seed=0)
+    ex = ds[0]
+    m = ex["instance_masks"]
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    masked = ex["instance_masked_images"]
+    # masked image must be zero where mask==1
+    assert np.abs(masked[m[..., 0] > 0.5]).max() == 0.0
+
+
+def test_random_mask_full_prob():
+    import random
+
+    rng = random.Random(0)
+    fulls = 0
+    for _ in range(200):
+        m, _ = generate_random_mask(np.zeros((64, 64, 3), np.float32), rng)
+        if m.min() == 1.0:
+            fulls += 1
+    assert 20 <= fulls <= 90  # ~25% full-mask rate (dataset.py:118)
+
+
+def test_loader_prior_concat(tmp_path, tok):
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    inst = tmp_path / "inst"
+    cls = tmp_path / "cls"
+    inst.mkdir(), cls.mkdir()
+    make_images(inst, ["i0.jpg", "i1.jpg"])
+    make_images(cls, ["c0.jpg", "c1.jpg"])
+    ds = DreamBoothDataset(str(inst), "a sks", tok, class_data_root=str(cls),
+                           class_prompt="a thing", size=64)
+    loader = data_loader(ds, 2, prior_preservation=True, seed=0)
+    b = next(loader)
+    assert b["pixel_values"].shape == (4, 64, 64, 3)  # [inst|class]
+    assert b["input_ids"].shape[0] == 4
+
+
+def test_loader_host_sharding(tmp_path, tok):
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    make_images(tmp_path, [f"{i}.jpg" for i in range(8)])
+    ds = DreamBoothDataset(str(tmp_path), "p", tok, size=64)
+    l0 = data_loader(ds, 2, seed=5, shuffle=False, process_index=0,
+                     process_count=2)
+    l1 = data_loader(ds, 2, seed=5, shuffle=False, process_index=1,
+                     process_count=2)
+    b0, b1 = next(l0), next(l1)
+    # disjoint sample streams
+    assert not np.allclose(b0["pixel_values"], b1["pixel_values"])
+
+
+def test_ti_dataset_stochastic_attributes(tmp_path, tok):
+    make_images(tmp_path, ["z.jpg"])
+    ds = DreamBoothTiDataset(str(tmp_path), "", tok, size=64,
+                             placeholder_token="<k>",
+                             stochastic_attribute="red,small", seed=0)
+    seen = set()
+    for i in range(20):
+        ids = tuple(ds[i]["instance_prompt_ids"])
+        seen.add(ids)
+    assert len(seen) > 3  # attribute/template randomization varies prompts
+
+
+def test_load_image_norm_range(tmp_path):
+    img = Image.fromarray(np.full((100, 50, 3), 255, np.uint8))
+    arr = load_image_norm(img, 32)
+    assert arr.shape == (32, 32, 3)
+    np.testing.assert_allclose(arr, 1.0, atol=1e-6)
