@@ -41,6 +41,21 @@ from ..models.vae import init_vae, vae_decode, vae_encode
 Params = Dict[str, jax.Array]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _jit_text_encode(params, ids, cfg, lora, dtype):
+    return clip_text_forward(params, ids, cfg, lora=lora, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_vae_decode(params, z, cfg):
+    return vae_decode(params, z, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sample"))
+def _jit_vae_encode(params, x, cfg, rng, sample=True):
+    return vae_encode(params, x, cfg, rng, sample=sample)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("unet_cfg", "num_inference_steps", "use_cfg", "method"),
@@ -244,8 +259,8 @@ class StableDiffusionPipeline:
     # -- encoding -----------------------------------------------------------
     def encode_prompt(self, prompt: Union[str, Sequence[str]]) -> jax.Array:
         ids = jnp.asarray(self.tokenizer(prompt)["input_ids"], jnp.int32)
-        return clip_text_forward(self.text_params, ids, self.text_cfg,
-                                 lora=self.lora_text, dtype=self.dtype)
+        return _jit_text_encode(self.text_params, ids, self.text_cfg,
+                                self.lora_text, self.dtype)
 
     def prepare_latents(self, batch: int, height: int, width: int,
                         rng: jax.Array) -> jax.Array:
@@ -302,7 +317,7 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg, method=scheduler, sigmas=sigmas)
-        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         images = np.asarray(
             jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
         if return_latents:
@@ -323,8 +338,8 @@ class StableDiffusionPipeline:
         B = len(prompts)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_noise = jax.random.split(rng)
-        z = vae_encode(self.vae_params, init_image.astype(self.dtype),
-                       self.vae_cfg, k_enc)
+        z = _jit_vae_encode(self.vae_params, init_image.astype(self.dtype),
+                            self.vae_cfg, k_enc)
         ts_all = schedulers.ddim_timesteps(self.schedule, num_inference_steps)
         t_start = max(num_inference_steps - int(num_inference_steps * strength), 0)
         ts = ts_all[t_start:]
@@ -343,7 +358,7 @@ class StableDiffusionPipeline:
             self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg)
-        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
 
     def inpaint(
@@ -368,9 +383,8 @@ class StableDiffusionPipeline:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_lat = jax.random.split(rng)
         masked = image * (mask < 0.5)
-        masked_latents = vae_encode(self.vae_params,
-                                    masked.astype(self.dtype), self.vae_cfg,
-                                    k_enc)
+        masked_latents = _jit_vae_encode(
+            self.vae_params, masked.astype(self.dtype), self.vae_cfg, k_enc)
         h, w = masked_latents.shape[1:3]
         ys = (jnp.arange(h) * (mask.shape[1] / h)).astype(jnp.int32)
         xs = (jnp.arange(w) * (mask.shape[2] / w)).astype(jnp.int32)
@@ -393,5 +407,5 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg, extra_channels=extra)
-        images = vae_decode(self.vae_params, latents, self.vae_cfg)
+        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
