@@ -124,6 +124,27 @@ def load_text_encoder(model_dir: str, dtype=jnp.float32) -> Tuple[Params, CLIPTe
     return _to_params(sd, dtype), cfg
 
 
+def load_scheduler_config(path: str):
+    """Build a NoiseSchedule from scheduler/scheduler_config.json if present
+    (DDPMScheduler.from_config in the reference, cli_lora_pti.py:813-815)."""
+    from .schedulers import make_schedule
+
+    cfg_path = os.path.join(path, "scheduler", "scheduler_config.json")
+    if not os.path.exists(cfg_path):
+        return make_schedule()
+    with open(cfg_path) as f:
+        c = json.load(f)
+    return make_schedule(
+        num_train_timesteps=c.get("num_train_timesteps", 1000),
+        beta_start=c.get("beta_start", 0.00085),
+        beta_end=c.get("beta_end", 0.012),
+        beta_schedule=c.get("beta_schedule", "scaled_linear"),
+        set_alpha_to_one=c.get("set_alpha_to_one", False),
+        steps_offset=c.get("steps_offset", 1),
+        prediction_type=c.get("prediction_type", "epsilon"),
+    )
+
+
 def load_pipeline_params(path: str, dtype=jnp.float32):
     """Load a diffusers-layout pipeline directory (unet/ vae/ text_encoder/)."""
     unet_p, unet_cfg = load_unet(os.path.join(path, "unet"), dtype)
@@ -194,3 +215,16 @@ def save_pipeline_params(
         "max_position_embeddings": t.max_position_embeddings,
         "hidden_act": t.hidden_act,
     })
+    sd_dir = os.path.join(path, "scheduler")
+    os.makedirs(sd_dir, exist_ok=True)
+    s = pipe.schedule
+    with open(os.path.join(sd_dir, "scheduler_config.json"), "w") as f:
+        json.dump({
+            "_class_name": "DDPMScheduler",
+            "num_train_timesteps": s.num_train_timesteps,
+            "beta_start": 0.00085, "beta_end": 0.012,
+            "beta_schedule": "scaled_linear",
+            "set_alpha_to_one": s.final_alpha_cumprod == 1.0,
+            "steps_offset": s.steps_offset,
+            "prediction_type": s.prediction_type,
+        }, f, indent=2)

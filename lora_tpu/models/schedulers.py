@@ -212,6 +212,58 @@ def pndm_step(sched: NoiseSchedule, state: dict, model_out: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# DPM-Solver++ (2M, multistep, data prediction) — strong at low step counts
+# ---------------------------------------------------------------------------
+
+def dpmpp_timesteps(sched: NoiseSchedule, num_inference_steps: int) -> np.ndarray:
+    return np.linspace(0, sched.num_train_timesteps - 1,
+                       num_inference_steps + 1)[::-1][:-1].round().astype(
+                           np.int64).copy()
+
+
+def dpmpp_init_state(latent_shape, dtype=jnp.float32):
+    return {
+        "d_prev": jnp.zeros(latent_shape, dtype),
+        "lambda_prev": jnp.zeros((), jnp.float32),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def _alpha_sigma_lambda(sched, t):
+    a = jnp.where(t >= 0, sched.alphas_cumprod[jnp.maximum(t, 0)],
+                  sched.final_alpha_cumprod)
+    alpha = jnp.sqrt(a)
+    sigma = jnp.sqrt(1.0 - a)
+    lam = jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-10))
+    return alpha, sigma, lam
+
+
+def dpmpp_step(sched: NoiseSchedule, state: dict, model_out: jax.Array,
+               t: jax.Array, sample: jax.Array, prev_t: jax.Array):
+    """One DPM-Solver++(2M) step (epsilon-prediction model; first step is
+    first-order, later steps use the 2M multistep combination)."""
+    x = sample.astype(jnp.float32)
+    eps = model_out.astype(jnp.float32)
+    alpha_s, sigma_s, lam_s = _alpha_sigma_lambda(sched, t)
+    alpha_t, sigma_t, lam_t = _alpha_sigma_lambda(sched, prev_t)
+    # data (x0) prediction
+    d = (x - sigma_s * eps) / alpha_s
+    h = lam_t - lam_s
+    h_prev = lam_s - state["lambda_prev"]
+    r = h_prev / jnp.where(h == 0, 1.0, h)
+    d_multi = jnp.where(
+        state["count"] > 0,
+        (1.0 + 1.0 / (2.0 * jnp.maximum(r, 1e-8))) * d
+        - (1.0 / (2.0 * jnp.maximum(r, 1e-8))) * state["d_prev"],
+        d,
+    )
+    x_next = (sigma_t / sigma_s) * x - alpha_t * (jnp.exp(-h) - 1.0) * d_multi
+    new_state = {"d_prev": d, "lambda_prev": lam_s,
+                 "count": state["count"] + 1}
+    return x_next.astype(sample.dtype), new_state
+
+
+# ---------------------------------------------------------------------------
 # Euler discrete (k-diffusion style)
 # ---------------------------------------------------------------------------
 
@@ -241,6 +293,20 @@ def euler_step(sample: jax.Array, eps: jax.Array, sigma, sigma_next) -> jax.Arra
     denoised = x - sigma * eps.astype(jnp.float32)
     d = (x - denoised) / sigma
     return (x + d * (sigma_next - sigma)).astype(sample.dtype)
+
+
+def euler_ancestral_step(sample: jax.Array, eps: jax.Array, sigma,
+                         sigma_next, noise: jax.Array) -> jax.Array:
+    """Stochastic (ancestral) Euler step in sigma space."""
+    x = sample.astype(jnp.float32)
+    sigma_up = jnp.sqrt(jnp.maximum(
+        sigma_next**2 * (sigma**2 - sigma_next**2) / jnp.maximum(sigma**2,
+                                                                 1e-20), 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+    denoised = x - sigma * eps.astype(jnp.float32)
+    d = (x - denoised) / sigma
+    x = x + d * (sigma_down - sigma)
+    return (x + noise.astype(jnp.float32) * sigma_up).astype(sample.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,7 @@ def _denoise_loop(
     method: str = "ddim",
     extra_channels: Optional[jax.Array] = None,
     sigmas: Optional[jax.Array] = None,
+    noise_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Denoise loop under one jit (ddim | pndm | euler).
     ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate)."""
@@ -137,6 +138,34 @@ def _denoise_loop(
 
         return jax.lax.fori_loop(0, ts.shape[0], body, latents)
 
+    if method == "euler_a":
+        def body(i, lat):
+            t = ts[i]
+            sigma = sigmas[i]
+            scaled = schedulers.euler_scale_model_input(lat, sigma)
+            out = eps_at(lat, t, scale_in=scaled)
+            noise = jax.random.normal(jax.random.fold_in(noise_rng, i),
+                                      lat.shape, jnp.float32)
+            return schedulers.euler_ancestral_step(lat, out, sigma,
+                                                   sigmas[i + 1], noise)
+
+        return jax.lax.fori_loop(0, ts.shape[0], body, latents)
+
+    if method == "dpm++":
+        n = ts.shape[0]
+        ts_next = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+        state0 = schedulers.dpmpp_init_state(latents.shape)
+
+        def body(i, carry):
+            lat, state = carry
+            out = eps_at(lat, ts[i])
+            lat, state = schedulers.dpmpp_step(sched, state, out, ts[i], lat,
+                                               ts_next[i])
+            return lat, state
+
+        latents, _ = jax.lax.fori_loop(0, n, body, (latents, state0))
+        return latents
+
     raise ValueError(f"unknown scheduler method {method}")
 
 
@@ -175,13 +204,17 @@ class StableDiffusionPipeline:
 
     @classmethod
     def from_pretrained(cls, path: str, dtype=jnp.float32, tokenizer=None):
-        from ..models.hf_import import load_pipeline_params
+        from ..models.hf_import import (
+            load_pipeline_params,
+            load_scheduler_config,
+        )
 
         unet_p, text_p, vae_p, cfgs = load_pipeline_params(path, dtype)
         return cls(unet_params=unet_p, text_params=text_p, vae_params=vae_p,
-                   tokenizer=tokenizer or default_tokenizer(path),
+                   tokenizer=tokenizer or default_tokenizer(
+                       path, vocab_size=cfgs[1].vocab_size),
                    unet_cfg=cfgs[0], text_cfg=cfgs[1], vae_cfg=cfgs[2],
-                   dtype=dtype)
+                   schedule=load_scheduler_config(path), dtype=dtype)
 
     # -- LoRA / TI management (patch_pipe equivalents) ------------------------
     def unet_sites(self, target=None):
@@ -272,6 +305,11 @@ class StableDiffusionPipeline:
         if method == "ddim":
             ts = schedulers.ddim_timesteps(self.schedule, num_inference_steps)
             sigmas = None
+        elif method == "euler_a":
+            ts = schedulers.euler_timesteps(self.schedule,
+                                            num_inference_steps)
+            sigmas = jnp.asarray(
+                schedulers.euler_sigmas(self.schedule, num_inference_steps))
         elif method == "pndm":
             ts = schedulers.pndm_timesteps(self.schedule, num_inference_steps)
             sigmas = None
@@ -280,6 +318,10 @@ class StableDiffusionPipeline:
                                             num_inference_steps)
             sigmas = jnp.asarray(
                 schedulers.euler_sigmas(self.schedule, num_inference_steps))
+        elif method == "dpm++":
+            ts = schedulers.dpmpp_timesteps(self.schedule,
+                                            num_inference_steps)
+            sigmas = None
         else:
             raise ValueError(f"unknown scheduler {method}")
         return jnp.asarray(ts, jnp.int32), sigmas
@@ -309,14 +351,17 @@ class StableDiffusionPipeline:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = self.prepare_latents(B, height, width, rng)
         ts, sigmas = self._scheduler_arrays(scheduler, num_inference_steps)
-        if scheduler == "euler":
+        if scheduler in ("euler", "euler_a"):
             # latents are unit-variance noise; euler starts at sigma_max
             latents = latents * sigmas[0].astype(latents.dtype)
+        noise_rng = jax.random.fold_in(
+            rng if rng is not None else jax.random.PRNGKey(0), 777)
         latents = _denoise_loop(
             self.unet_params, self.lora_unet, latents, text_emb, uncond,
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
-            num_inference_steps, use_cfg, method=scheduler, sigmas=sigmas)
+            num_inference_steps, use_cfg, method=scheduler, sigmas=sigmas,
+            noise_rng=noise_rng)
         images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         images = np.asarray(
             jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))

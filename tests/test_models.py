@@ -228,6 +228,29 @@ def test_pndm_full_chain_oracle():
     np.testing.assert_allclose(np.asarray(xt), expect, rtol=5e-3, atol=5e-4)
 
 
+def test_dpmpp_oracle_chain():
+    """DPM-Solver++(2M) with a perfect eps-oracle preserves the (x0, eps)
+    line; endpoint = alpha_f x0 + sigma_f eps (same invariant as DDIM)."""
+    s = schedulers.make_schedule()
+    x0 = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 4, 2))
+    n = 8
+    ts = schedulers.dpmpp_timesteps(s, n)
+    assert len(ts) == n and ts[0] > ts[-1]
+    xt = schedulers.add_noise(s, x0, eps, jnp.array([int(ts[0])]))
+    state = schedulers.dpmpp_init_state(xt.shape)
+    for i, t in enumerate(ts):
+        a = s.alphas_cumprod[int(t)]
+        oracle = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        prev_t = int(ts[i + 1]) if i + 1 < n else -1
+        xt, state = schedulers.dpmpp_step(s, state, oracle,
+                                          jnp.array(int(t)), xt,
+                                          jnp.array(prev_t))
+    a0 = s.final_alpha_cumprod
+    expect = np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(xt), expect, rtol=5e-3, atol=5e-4)
+
+
 def test_euler_oracle_recovers_x0():
     s = schedulers.make_schedule()
     sigmas = schedulers.euler_sigmas(s, 8)

@@ -130,11 +130,17 @@ def test_alternate_schedulers_run(pipe):
              scheduler="euler")
     c = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
              scheduler="ddim")
-    for img in (a, b, c):
+    d = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
+             scheduler="dpm++")
+    e = pipe("x", num_inference_steps=3, height=64, width=64, latents=lat,
+             scheduler="euler_a", rng=jax.random.PRNGKey(0))
+    assert np.isfinite(e).all()
+    for img in (a, b, c, d):
         assert img.shape == (1, 64, 64, 3) and np.isfinite(img).all()
     # different samplers produce different (but close-family) outputs
     assert np.abs(a - c).max() > 1e-6
     assert np.abs(b - c).max() > 1e-6
+    assert np.abs(d - c).max() > 1e-6
 
 
 def test_img2img_runs(pipe):
