@@ -434,7 +434,10 @@ def data_loader(dataset, batch_size: int, shuffle: bool = True,
             rng.shuffle(idxs)
         if process_count > 1:
             idxs = idxs[process_index::process_count] or idxs[:1]
-        for s in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+        while len(idxs) < batch_size:  # tiny datasets: sample with repeats
+            idxs = idxs + idxs
+        m = len(idxs)
+        for s in range(0, m - (batch_size - 1 if drop_last else 0), batch_size):
             chunk = [dataset[i] for i in idxs[s : s + batch_size]]
             if len(chunk) < batch_size and drop_last:
                 continue

@@ -175,6 +175,8 @@ def cached_loader(items, batch_size, seed=0):
     while True:
         idxs = list(range(len(items)))
         rng.shuffle(idxs)
+        while len(idxs) < batch_size:  # tiny datasets: repeat
+            idxs = idxs + idxs
         for s in range(0, len(idxs) - batch_size + 1, batch_size):
             chunk = [items[i] for i in idxs[s:s + batch_size]]
             batch = {"latents": np.stack([c["latents"] for c in chunk]),

@@ -132,6 +132,16 @@ def test_ti_dataset_stochastic_attributes(tmp_path, tok):
     assert len(seen) > 3  # attribute/template randomization varies prompts
 
 
+def test_loader_dataset_smaller_than_batch(tmp_path, tok):
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    make_images(tmp_path, ["only.jpg"])
+    ds = DreamBoothDataset(str(tmp_path), "p", tok, size=64)
+    loader = data_loader(ds, 4, seed=0)
+    b = next(loader)  # must not hang; repeats the single sample
+    assert b["pixel_values"].shape == (4, 64, 64, 3)
+
+
 def test_load_image_norm_range(tmp_path):
     img = Image.fromarray(np.full((100, 50, 3), 255, np.uint8))
     arr = load_image_norm(img, 32)
