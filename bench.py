@@ -49,11 +49,17 @@ def main():
         loss_cfg=LossConfig(cached_latents=True), optimizer=opt, dtype=dtype)
 
     B = 1  # per-chip batch of the reference recipe
+    # unet-only training: prompts are fixed -> text embeddings precomputed
+    # once (trainers do the same via cache_text_embeddings)
+    from lora_tpu.models.clip import clip_text_forward
+
+    ids = jax.random.randint(jax.random.PRNGKey(6), (B, 77), 0, 49000)
+    enc = jax.jit(lambda p, i: clip_text_forward(p, i, SD15_TEXT,
+                                                 dtype=dtype))(text_p, ids)
     batch = {
         "latents": jax.random.normal(jax.random.PRNGKey(5), (B, 64, 64, 4),
                                      dtype),
-        "input_ids": jax.random.randint(jax.random.PRNGKey(6), (B, 77), 0,
-                                        49000),
+        "encoder_hidden_states": enc,
     }
     opt_state = opt.init(trainable)
 

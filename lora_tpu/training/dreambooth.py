@@ -69,6 +69,7 @@ class DreamBoothConfig:
     output_format: str = "both"  # pt | safe | both
     mixed_precision: Optional[str] = None  # None | "bf16"
     cached_latents: bool = False
+    cache_text_embeddings: bool = True  # auto-disabled when text trains
     data_parallel: bool = False
     sample_guidance_scale: float = 7.5
     sample_steps: int = 50
@@ -190,6 +191,22 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                      lora_text=trainable.get("lora_text"), text_sites=tsites,
                      save_ti=False, safe_form=False)
 
+    # frozen-text fast path: the instance/class prompts are fixed, so their
+    # embeddings are constants — precompute once and drop CLIP from the hot
+    # loop (same trick as VAE latent caching, cli_lora_pti.py:141-151)
+    cache_text = cfg.cache_text_embeddings and not cfg.train_text_encoder
+    text_emb_cache = {}
+    if cache_text:
+        from ..pipelines.sd import _jit_text_encode
+
+        def embed_ids(ids_batch):
+            key = ids_batch.tobytes()
+            if key not in text_emb_cache:
+                text_emb_cache[key] = _jit_text_encode(
+                    pipe.text_params, jnp.asarray(ids_batch), pipe.text_cfg,
+                    None, dtype)
+            return text_emb_cache[key]
+
     rng = jax.random.PRNGKey(cfg.seed + 7)
     start_step = 0
     if cfg.resume_state:
@@ -205,6 +222,8 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     for micro in range(start_step * cfg.gradient_accumulation_steps,
                        micro_steps):
         batch = next(loader)
+        if cache_text:
+            batch["encoder_hidden_states"] = embed_ids(batch.pop("input_ids"))
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)

@@ -95,10 +95,16 @@ def loss_step(
 
     lora_text = trainable.get("lora_text")
     ti = trainable.get("ti")
-    encoder_hidden = clip_text_forward(
-        text_params, batch["input_ids"], text_cfg, lora=lora_text,
-        ti_embeds=ti["embeds"] if ti is not None else None,
-        ti_ids=ti_ids, dtype=dtype)
+    if "encoder_hidden_states" in batch:
+        # precomputed text embeddings (valid only when neither text LoRA nor
+        # TI trains — the trainer guards this); removes CLIP from the hot
+        # loop just like VAE latent caching removes the VAE
+        encoder_hidden = batch["encoder_hidden_states"].astype(dtype)
+    else:
+        encoder_hidden = clip_text_forward(
+            text_params, batch["input_ids"], text_cfg, lora=lora_text,
+            ti_embeds=ti["embeds"] if ti is not None else None,
+            ti_ids=ti_ids, dtype=dtype)
 
     lora_unet = trainable.get("lora_unet")
     if lora_unet is not None and cfg.lora_dropout_p > 0.0:
