@@ -11,7 +11,6 @@ Modes:
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Literal
 
 import numpy as np

@@ -6,9 +6,7 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
-from ..formats import pt_io
 from ..formats.safetensors_io import (
     EMBED_FLAG,
     UNET_DEFAULT_TARGET_REPLACE,

@@ -15,7 +15,7 @@ always produces a usable dataset:
 from __future__ import annotations
 
 import os
-from typing import List, Literal, Optional, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 from PIL import Image, ImageFilter

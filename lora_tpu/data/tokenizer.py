@@ -14,7 +14,6 @@ lora.py:922-941; here new ids simply index the TI buffer region).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import re

@@ -17,7 +17,7 @@ lora_tpu.core.sites.  ``up`` is stored pre-multiplied by the module scale
 from __future__ import annotations
 
 import json
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 

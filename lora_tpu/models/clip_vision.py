@@ -10,7 +10,6 @@ local openai/clip-vit-large-patch14 checkpoint loads as an identity map.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ to_q/to_k/to_v/to_out.0.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Layout: (B, H, T, D) throughout.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

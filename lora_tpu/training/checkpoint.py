@@ -11,7 +11,6 @@ the same config, then load), which keeps arbitrary optax state nodes
 
 from __future__ import annotations
 
-import json
 from typing import Any, Tuple
 
 import jax

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 import os
 import time
 from typing import Optional
@@ -22,10 +21,6 @@ from ..core.save import save_all
 from ..core.sites import text_encoder_lora_sites, unet_lora_sites
 from ..data.dataset import DreamBoothDataset, data_loader
 from ..formats import pt_io
-from ..formats.safetensors_io import (
-    TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
-    UNET_DEFAULT_TARGET_REPLACE,
-)
 from ..parallel import mesh as mesh_lib
 from ..pipelines.sd import StableDiffusionPipeline
 from ..utils.metrics import MetricsLogger

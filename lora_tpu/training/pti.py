@@ -16,7 +16,6 @@ is a no-op by construction.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import re
 import time

@@ -9,8 +9,7 @@ LoRA/TI grads — the whole of DDP in one sharding annotation
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,6 +19,10 @@ if os.environ.get("LORA_TPU_TEST_BACKEND", "cpu") == "cpu":
     # env JAX_PLATFORMS may be pinned to the TPU plugin by the image's
     # sitecustomize; the config update below overrides it reliably.
     jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU numerics mode: f32 matmuls default to bf16 MXU passes; tests
+    # compare against f32 references, so force true-f32 contractions.
+    jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
