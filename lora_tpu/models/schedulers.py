@@ -283,6 +283,23 @@ def euler_timesteps(sched: NoiseSchedule, num_inference_steps: int) -> np.ndarra
                        )[::-1].round().astype(np.int64).copy()
 
 
+def karras_sigmas(sched: NoiseSchedule, num_inference_steps: int,
+                  rho: float = 7.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Karras et al. (2022) sigma spacing for the euler sampler. Returns
+    (sigmas (S+1,), matching integer timesteps (S,)) — timesteps are the
+    nearest training steps for the model's conditioning input."""
+    a = np.asarray(sched.alphas_cumprod, np.float64)
+    sig_all = ((1 - a) / a) ** 0.5
+    sig_min, sig_max = sig_all[0], sig_all[-1]
+    ramp = np.linspace(0, 1, num_inference_steps)
+    inv_rho = 1.0 / rho
+    sig = (sig_max**inv_rho + ramp * (sig_min**inv_rho - sig_max**inv_rho)
+           ) ** rho
+    ts = np.interp(sig, sig_all, np.arange(len(sig_all))).round().astype(
+        np.int64)
+    return (np.concatenate([sig, [0.0]]).astype(np.float32), ts)
+
+
 def euler_scale_model_input(sample: jax.Array, sigma) -> jax.Array:
     return (sample / jnp.sqrt(sigma**2 + 1.0).astype(sample.dtype))
 

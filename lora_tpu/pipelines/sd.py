@@ -322,6 +322,10 @@ class StableDiffusionPipeline:
             ts = schedulers.dpmpp_timesteps(self.schedule,
                                             num_inference_steps)
             sigmas = None
+        elif method in ("euler_karras", "euler_a_karras"):
+            sig, ts = schedulers.karras_sigmas(self.schedule,
+                                               num_inference_steps)
+            sigmas = jnp.asarray(sig)
         else:
             raise ValueError(f"unknown scheduler {method}")
         return jnp.asarray(ts, jnp.int32), sigmas
@@ -351,7 +355,9 @@ class StableDiffusionPipeline:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = self.prepare_latents(B, height, width, rng)
         ts, sigmas = self._scheduler_arrays(scheduler, num_inference_steps)
-        if scheduler in ("euler", "euler_a"):
+        loop_method = {"euler_karras": "euler",
+                       "euler_a_karras": "euler_a"}.get(scheduler, scheduler)
+        if loop_method in ("euler", "euler_a"):
             # latents are unit-variance noise; euler starts at sigma_max
             latents = latents * sigmas[0].astype(latents.dtype)
         noise_rng = jax.random.fold_in(
@@ -360,7 +366,7 @@ class StableDiffusionPipeline:
             self.unet_params, self.lora_unet, latents, text_emb, uncond,
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
-            num_inference_steps, use_cfg, method=scheduler, sigmas=sigmas,
+            num_inference_steps, use_cfg, method=loop_method, sigmas=sigmas,
             noise_rng=noise_rng)
         images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         images = np.asarray(

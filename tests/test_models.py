@@ -266,6 +266,23 @@ def test_euler_oracle_recovers_x0():
                                atol=1e-5)
 
 
+def test_karras_sigmas_shape_and_order():
+    s = schedulers.make_schedule()
+    sig, ts = schedulers.karras_sigmas(s, 10)
+    assert sig.shape == (11,) and ts.shape == (10,)
+    assert sig[-1] == 0.0 and np.all(np.diff(sig[:-1]) < 0)
+    assert ts[0] > ts[-1] >= 0
+    # oracle: euler over karras spacing still lands on x0
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 4, 2))
+    eps = jax.random.normal(jax.random.PRNGKey(9), (1, 4, 4, 2))
+    x = x0 + float(sig[0]) * eps
+    for i in range(10):
+        oracle = (x - x0) / float(sig[i])
+        x = schedulers.euler_step(x, oracle, float(sig[i]), float(sig[i + 1]))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_ddim_deterministic_denoise():
     """DDIM with a perfect eps-oracle recovers x0 exactly in one step chain."""
     s = schedulers.make_schedule()
