@@ -44,8 +44,17 @@ def _lora_rng(lora, name):
     )
 
 
+def _weight(p: Params, key: str, dtype) -> jax.Array:
+    w = p[key]
+    if w.dtype == jnp.int8:  # quantized base (core/quantize.py)
+        from ..core.quantize import dequantize_weight
+
+        return dequantize_weight(p, key, dtype)
+    return w.astype(dtype)
+
+
 def dense(p: Params, name: str, x: jax.Array, lora=None) -> jax.Array:
-    w = p[name + ".weight"].astype(x.dtype)
+    w = _weight(p, name + ".weight", x.dtype)
     y = x @ w.T
     b = p.get(name + ".bias")
     if b is not None:
@@ -65,7 +74,7 @@ def conv2d(
     padding: Tuple[int, int] = (0, 0),
     lora=None,
 ) -> jax.Array:
-    w = p[name + ".weight"].astype(x.dtype)
+    w = _weight(p, name + ".weight", x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],

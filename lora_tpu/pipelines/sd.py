@@ -279,6 +279,15 @@ class StableDiffusionPipeline:
         self.lora_unet = None
         self.lora_text = None
 
+    def quantize_base(self):
+        """Serving memory lever: int8 per-channel base weights (~2x HBM
+        reduction); LoRA/TI stay full precision (core/quantize.py)."""
+        from ..core.quantize import quantize_params_int8
+
+        self.unet_params = quantize_params_int8(self.unet_params)
+        self.text_params = quantize_params_int8(self.text_params)
+        self.vae_params = quantize_params_int8(self.vae_params)
+
     def collapse_lora(self, alpha: float = 1.0):
         """Fold current LoRAs into base weights (lora.py:635-669)."""
         if self.lora_unet is not None:
