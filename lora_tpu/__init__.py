@@ -41,3 +41,16 @@ from .core.sites import (  # noqa: F401
     text_encoder_lora_sites,
     unet_lora_sites,
 )
+
+
+def __getattr__(name):
+    # heavy imports stay lazy so `import lora_tpu` is cheap
+    if name == "StableDiffusionPipeline":
+        from .pipelines.sd import StableDiffusionPipeline
+
+        return StableDiffusionPipeline
+    if name == "LoRAManager":
+        from .lora_manager import LoRAManager
+
+        return LoRAManager
+    raise AttributeError(name)
