@@ -226,6 +226,37 @@ def inspect_lora(lora: LoraTree) -> Dict[str, List[float]]:
     return moved
 
 
+def stack_loras(loras: Sequence[LoraTree]) -> LoraTree:
+    """Stack K same-shape LoRAs into one batched tree for per-sample routed
+    serving: up (K, out, r), down (K, r, in), scale (K,). At apply time the
+    tree carries "idx" (B,) selecting a LoRA per batch element — K adapters
+    served in ONE jitted program (one gather + two einsums per site; no
+    per-request recompilation). Linear sites only (the default target set)."""
+    names = set(loras[0]["sites"])
+    for l in loras[1:]:
+        if set(l["sites"]) != names:
+            raise ValueError("stack requires identical site sets")
+    sites = {}
+    for name in names:
+        entries = [l["sites"][name] for l in loras]
+        if entries[0]["up"].ndim != 2:
+            raise ValueError(f"batched serving supports linear sites only "
+                             f"({name} is conv)")
+        shapes = {(tuple(e["up"].shape), tuple(e["down"].shape))
+                  for e in entries}
+        if len(shapes) > 1:
+            raise ValueError(f"rank mismatch at {name}: {shapes}")
+        sites[name] = {"up": jnp.stack([e["up"] for e in entries]),
+                       "down": jnp.stack([e["down"] for e in entries])}
+    scale = jnp.stack([jnp.asarray(l["scale"], jnp.float32) for l in loras])
+    return {"sites": sites, "scale": scale}
+
+
+def with_lora_idx(lora: LoraTree, idx) -> LoraTree:
+    """Attach the per-sample adapter index to a stacked LoRA tree."""
+    return {**lora, "idx": jnp.asarray(idx, jnp.int32)}
+
+
 # ---------------------------------------------------------------------------
 # forward-pass application
 # ---------------------------------------------------------------------------
@@ -239,11 +270,27 @@ def _maybe_diag(h: jax.Array, entry: dict) -> jax.Array:
 
 def lora_delta_dense(x: jax.Array, entry: dict, scale: jax.Array,
                      dropout_rng: Optional[jax.Array] = None,
-                     dropout_p: float = 0.0) -> jax.Array:
-    """scale * up(selector(down(x))) for a linear site. x: (..., in)."""
+                     dropout_p: float = 0.0,
+                     idx: Optional[jax.Array] = None) -> jax.Array:
+    """scale * up(selector(down(x))) for a linear site. x: (..., in).
+
+    Batched serving: when entry holds stacked adapters (up (K,out,r)) and
+    `idx` (B,) is given, each batch element routes through its own adapter
+    (x must be batch-leading)."""
     dt = x.dtype
-    down = entry["down"].astype(dt)
-    up = entry["up"].astype(dt)
+    down = entry["down"]
+    up = entry["up"]
+    if up.ndim == 3:
+        if idx is None:
+            raise ValueError("stacked LoRA needs with_lora_idx(...)")
+        dsel = down[idx].astype(dt)   # (B, r, in)
+        usel = up[idx].astype(dt)     # (B, out, r)
+        h = jnp.einsum("b...i,bri->b...r", x, dsel)
+        d = jnp.einsum("b...r,bor->b...o", h, usel)
+        s = scale[idx].astype(dt)
+        return d * s.reshape((-1,) + (1,) * (d.ndim - 1))
+    down = down.astype(dt)
+    up = up.astype(dt)
     h = x @ down.T
     h = _maybe_diag(h, entry)
     d = h @ up.T

@@ -62,7 +62,8 @@ def dense(p: Params, name: str, x: jax.Array, lora=None) -> jax.Array:
     entry = _lora_entry(lora, name)
     if entry is not None:
         rng, drop = _lora_rng(lora, name)
-        y = y + lora_delta_dense(x, entry, lora["scale"], rng, drop)
+        y = y + lora_delta_dense(x, entry, lora["scale"], rng, drop,
+                                 idx=lora.get("idx"))
     return y
 
 

@@ -77,15 +77,21 @@ def _denoise_loop(
     extra_channels: Optional[jax.Array] = None,
     sigmas: Optional[jax.Array] = None,
     noise_rng: Optional[jax.Array] = None,
+    lora_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Denoise loop under one jit (ddim | pndm | euler).
-    ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate)."""
+    """Denoise loop under one jit (ddim | pndm | euler | euler_a | dpm++).
+    ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate).
+    lora_idx: per-sample adapter routing for stacked LoRAs."""
     sched = schedulers.NoiseSchedule(
         num_train_timesteps=1000, alphas_cumprod=sched_alphas,
         final_alpha_cumprod=final_alpha,
     )
     ctx = jnp.concatenate([uncond_emb, text_emb], 0) if use_cfg else text_emb
     step_delta = 1000 // num_inference_steps
+    if lora_idx is not None and lora_unet is not None:
+        model_idx = (jnp.concatenate([lora_idx, lora_idx]) if use_cfg
+                     else lora_idx)
+        lora_unet = {**lora_unet, "idx": model_idx}
 
     def eps_at(lat, t, scale_in=None):
         inp = lat if scale_in is None else scale_in
@@ -351,6 +357,7 @@ class StableDiffusionPipeline:
         latents: Optional[jax.Array] = None,
         return_latents: bool = False,
         scheduler: str = "ddim",
+        lora_idx: Optional[jax.Array] = None,
     ):
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
@@ -376,7 +383,9 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg, method=loop_method, sigmas=sigmas,
-            noise_rng=noise_rng)
+            noise_rng=noise_rng,
+            lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
+                                                               jnp.int32))
         images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         images = np.asarray(
             jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
