@@ -386,6 +386,35 @@ class DreamBoothDataset:
         return ex
 
 
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch: overlaps host-side image decode/augment
+    with device steps (the async input pipeline the reference gets from
+    torch DataLoader workers)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except Exception as e:  # surface errors to the consumer
+            q.put(("__error__", e))
+        q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
+
+
 class DreamBoothTiDataset(DreamBoothDataset):
     """Legacy TI+LoRA dataset (train_lora_w_ti.py DreamBoothTiDataset):
     templated captions around the placeholder token with stochastic

@@ -134,8 +134,11 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         h_flip=cfg.h_flip,
         seed=cfg.seed,
     )
-    loader = data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
-                         prior_preservation=cfg.with_prior_preservation)
+    from ..data.dataset import prefetch
+
+    loader = prefetch(
+        data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
+                    prior_preservation=cfg.with_prior_preservation))
 
     lrs = {"lora_unet": make_lr_schedule(
         cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps,

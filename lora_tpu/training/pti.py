@@ -230,9 +230,10 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         items = cache_latents(pipe, dataset, k_cache)
         loader = cached_loader(items, cfg.train_batch_size, cfg.seed)
     else:
-        from ..data.dataset import data_loader
+        from ..data.dataset import data_loader, prefetch
 
-        loader = data_loader(dataset, cfg.train_batch_size, seed=cfg.seed)
+        loader = prefetch(data_loader(dataset, cfg.train_batch_size,
+                                      seed=cfg.seed))
 
     mesh = None
     if cfg.data_parallel and len(jax.devices()) > 1:

@@ -142,6 +142,28 @@ def test_loader_dataset_smaller_than_batch(tmp_path, tok):
     assert b["pixel_values"].shape == (4, 64, 64, 3)
 
 
+def test_prefetch_wrapper(tmp_path, tok):
+    from lora_tpu.data.dataset import DreamBoothDataset, prefetch
+
+    make_images(tmp_path, ["p0.jpg", "p1.jpg"])
+    ds = DreamBoothDataset(str(tmp_path), "p", tok, size=64)
+    it = prefetch(data_loader(ds, 2, seed=0), depth=2)
+    b1, b2 = next(it), next(it)
+    assert b1["pixel_values"].shape == (2, 64, 64, 3)
+    assert b2["pixel_values"].shape == (2, 64, 64, 3)
+
+    def boom():
+        yield {"x": 1}
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom())
+    next(it)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        next(it)
+
+
 def test_load_image_norm_range(tmp_path):
     img = Image.fromarray(np.full((100, 50, 3), 255, np.uint8))
     arr = load_image_norm(img, 32)
