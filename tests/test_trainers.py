@@ -102,6 +102,54 @@ def test_pti_end_to_end(pipe, image_dir, tmp_path):
     assert inv_loras == {} and set(inv_embeds) == {"<s1>", "<s2>"}
 
 
+def test_pti_extended_continue_inversion_masked(pipe, image_dir, tmp_path):
+    """Flag-combo path: extended LoRA targets (resnet convs), continued
+    inversion in phase 2, face-segmentation mask conditioning (fallback
+    masks), dropout + scale — the use_face_conditioning_example.sh shape."""
+    import dataclasses
+
+    out = str(tmp_path / "pti_ext")
+    cfg = PTIConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        placeholder_tokens="<s1>",
+        use_template="object",
+        resolution=64,
+        lora_rank=2,
+        max_train_steps_ti=1,
+        max_train_steps_tuning=2,
+        save_steps=0,
+        gradient_accumulation_steps=1,
+        cached_latents=True,
+        train_text_encoder=True,
+        use_extended_lora=True,
+        continue_inversion=True,
+        continue_inversion_lr=1e-4,
+        use_face_segmentation_condition=True,
+        lora_dropout_p=0.1,
+        lora_scale=2.0,
+        seed=3,
+    )
+    p = dataclasses.replace(pipe)
+    from lora_tpu.data.tokenizer import CLIPTokenizer
+
+    p.tokenizer = CLIPTokenizer(vocab_size=TINY_TEXT.vocab_size)
+    res = train_pti(p, cfg)
+    assert np.isfinite(res["final_loss"])
+    final = os.path.join(out, "final_lora.safetensors")
+    loras, embeds = load_safeloras_both(final)
+    assert "<s1>" in embeds
+    # extended targets: conv sites present (4-D tensors) and metadata says so
+    w, ranks, target = loras["unet"]
+    assert "ResnetBlock2D" in target
+    assert any(np.asarray(t).ndim == 4 for t in w)
+    # runtime scale was folded into saved ups (realize_as_lora semantics)
+    # and the artifact patches back into a pipe with extended sites
+    p2 = dataclasses.replace(pipe)
+    p2.patch_pipe(final)
+    assert p2.lora_unet is not None
+
+
 def test_pti_token_validation(pipe):
     cfg = PTIConfig(placeholder_tokens="<s2>|<s1>")  # unsorted
     with pytest.raises(AssertionError):
