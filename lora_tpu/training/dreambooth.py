@@ -228,6 +228,9 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         rng, krng = jax.random.split(rng)
         trainable, opt_state, loss = step_fn(trainable, opt_state, base,
                                              batch, krng)
+        if micro == start_step * cfg.gradient_accumulation_steps:
+            jax.block_until_ready(loss)
+            t_start = time.perf_counter()  # exclude compile from steps/sec
         if (micro + 1) % cfg.gradient_accumulation_steps == 0:
             global_step += 1
             if global_step % 10 == 0 or global_step == 1:
