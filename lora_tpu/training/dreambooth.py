@@ -136,9 +136,50 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     )
     from ..data.dataset import prefetch
 
-    loader = prefetch(
-        data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
-                    prior_preservation=cfg.with_prior_preservation))
+    if cfg.cached_latents:
+        # pre-encode every example once (PTI-style, cli_lora_pti.py:141-151);
+        # note: fixes each example's augmentation at cache time
+        from ..pipelines.sd import _jit_vae_encode
+
+        def encode_items(n_take, get):
+            items = []
+            rng_c = jax.random.PRNGKey(cfg.seed + 99)
+            for i in range(n_take):
+                ex = get(i)
+                rng_c, k = jax.random.split(rng_c)
+                lat = _jit_vae_encode(
+                    pipe.vae_params,
+                    jnp.asarray(ex[0][None], dtype), pipe.vae_cfg, k)[0]
+                items.append((np.asarray(lat), np.asarray(ex[1], np.int64)))
+            return items
+
+        inst = encode_items(
+            ds.num_instance_images,
+            lambda i: (ds[i]["instance_images"], ds[i]["instance_prompt_ids"]))
+        cls_items = []
+        if cfg.with_prior_preservation:
+            cls_items = encode_items(
+                ds.num_class_images,
+                lambda i: (ds[i]["class_images"], ds[i]["class_prompt_ids"]))
+
+        import random as _random
+
+        def cached_db_loader():
+            r = _random.Random(cfg.seed)
+            while True:
+                lat = [inst[r.randrange(len(inst))]
+                       for _ in range(cfg.train_batch_size)]
+                if cfg.with_prior_preservation:
+                    lat += [cls_items[r.randrange(len(cls_items))]
+                            for _ in range(cfg.train_batch_size)]
+                yield {"latents": np.stack([l for l, _ in lat]),
+                       "input_ids": np.stack([i for _, i in lat])}
+
+        loader = cached_db_loader()
+    else:
+        loader = prefetch(
+            data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
+                        prior_preservation=cfg.with_prior_preservation))
 
     lrs = {"lora_unet": make_lr_schedule(
         cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps,
@@ -158,7 +199,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         mesh = mesh_lib.make_mesh(dp=len(jax.devices()))
 
     loss_cfg = LossConfig(
-        cached_latents=False,
+        cached_latents=cfg.cached_latents,
         with_prior_preservation=cfg.with_prior_preservation,
         prior_loss_weight=cfg.prior_loss_weight,
         gradient_checkpointing=cfg.gradient_checkpointing,

@@ -65,6 +65,19 @@ def test_dreambooth_end_to_end(pipe, image_dir, tmp_path):
     assert p2.lora_unet is not None and p2.lora_text is not None
 
 
+def test_dreambooth_cached_latents(pipe, image_dir, tmp_path):
+    import dataclasses
+
+    out = str(tmp_path / "db_cached")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=2, save_steps=0, cached_latents=True, seed=0)
+    res = train_dreambooth(dataclasses.replace(pipe), cfg)
+    assert res["steps"] == 2 and np.isfinite(res["final_loss"])
+    assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
+
+
 def test_pti_end_to_end(pipe, image_dir, tmp_path):
     import dataclasses
 
