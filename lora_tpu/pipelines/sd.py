@@ -402,6 +402,7 @@ class StableDiffusionPipeline:
         guidance_scale: float = 7.5,
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
+        lora_idx: Optional[jax.Array] = None,
     ):
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
@@ -426,7 +427,9 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), jnp.asarray(ts, jnp.int32),
             self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
-            num_inference_steps, use_cfg)
+            num_inference_steps, use_cfg,
+            lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
+                                                               jnp.int32))
         images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
         return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
 
