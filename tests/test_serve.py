@@ -1,0 +1,71 @@
+"""HTTP serving endpoint on the tiny pipeline."""
+
+import base64
+import json
+import urllib.request
+
+import jax
+import pytest
+
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET, TINY_VAE
+from lora_tpu.pipelines.sd import StableDiffusionPipeline
+from lora_tpu.serve import PipelineServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read()), r.status
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True and body["devices"]
+
+
+def test_generate(server):
+    out, status = _post(server, {"prompt": "a tiny tree", "steps": 2,
+                                 "height": 64, "width": 64, "seed": 1})
+    assert status == 200
+    assert len(out["images"]) == 1 and out["latency_ms"] > 0
+    png = base64.b64decode(out["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_generate_batch_and_errors(server):
+    out, status = _post(server, {"prompt": ["a", "b"], "steps": 2,
+                                 "height": 64, "width": 64})
+    assert status == 200 and len(out["images"]) == 2
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps({"steps": "NaN?"}).encode())
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
+
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/nope", timeout=30)
+        missing = False
+    except urllib.error.HTTPError as e:
+        missing = e.code == 404
+    assert missing
