@@ -17,6 +17,10 @@ setup(
             "lora_pti = lora_tpu.cli.lora_pti:main",
             "lora_distill = lora_tpu.cli.lora_distill:main",
             "lora_ppim = lora_tpu.cli.lora_ppim:main",
+            # beyond-reference entry points
+            "lora_db = lora_tpu.cli.lora_db:main",
+            "lora_ti = lora_tpu.cli.lora_ti:main",
+            "lora_serve = lora_tpu.serve:main",
         ],
     },
     python_requires=">=3.10",
