@@ -1,55 +1,96 @@
-"""Convert legacy .pt LoRA / TI files into single-file safetensors
-(reference cli_pt_to_safetensors.py). Auto-detects TI (dict) vs LoRA (list);
-per-model overrides via --name.rank / --name.target_modules."""
+"""Convert legacy ``.pt`` LoRA / TI files into the single-file safetensors
+format (reference cli_pt_to_safetensors.py).
+
+File-type detection matches the reference: a ``.pt`` holding a dict is a
+textual-inversion embed file, a list is a flat LoRA weight list. The model
+name is derived from the reference's filename convention
+(cli_pt_to_safetensors.py:57-58):
+
+    lora_weight.pt               -> unet
+    lora_weight.text_encoder.pt  -> text_encoder
+    anything.NAME.pt             -> NAME
+
+Per-model overrides: ``--NAME.rank 8`` / ``--NAME.target_modules A,B``.
+Defaults per model name follow the reference's ``_target_by_name``
+(cli_pt_to_safetensors.py:13-17).
+"""
 
 from __future__ import annotations
 
+import os
 import sys
+from typing import Dict, Iterable, Sequence, Tuple
 
+import numpy as np
 
 from ..formats.safetensors_io import (
-    EMBED_FLAG,
+    DEFAULT_TARGET_REPLACE,
+    TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
     UNET_DEFAULT_TARGET_REPLACE,
-    save_file,
+    pairs_from_flat,
+    save_safeloras_with_embeds,
 )
 
+DEFAULT_TARGETS_BY_NAME = {
+    "unet": UNET_DEFAULT_TARGET_REPLACE,
+    "text_encoder": TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+}
 
-def convert(*modelpaths, outpath: str, **settings):
-    """convert(path1, path2, ..., outpath=..., name.rank=4,
-    name.target_modules=A,B)  — model name = file stem."""
-    weights = {}
-    metadata = {}
-    import json
+
+def model_name_for(path: str) -> str:
+    """Reference filename convention (cli_pt_to_safetensors.py:57-58):
+    the penultimate dot-component names the model, defaulting to unet."""
+    parts = os.path.basename(path).split(".")
+    return parts[-2] if len(parts) > 2 else "unet"
+
+
+def _is_ti_file(obj) -> bool:
+    return isinstance(obj, dict)
+
+
+def convert(*modelpaths: str, outpath: str, overwrite: bool = False,
+            **settings):
+    """convert(path1, path2, ..., outpath=..., unet.rank=4,
+    text_encoder.target_modules=CLIPAttention)"""
+    if os.path.exists(outpath) and not overwrite:
+        raise ValueError(
+            f"Output path {outpath} already exists (pass --overwrite)"
+        )
+
+    modelmap: Dict[str, Tuple[Sequence, Iterable[str]]] = {}
+    embeds: Dict[str, np.ndarray] = {}
+
+    import torch
 
     for path in modelpaths:
-        name = path.split("/")[-1].split(".")[0]
-        import torch
-
         obj = torch.load(path, map_location="cpu", weights_only=False)
-        if isinstance(obj, dict):  # TI embeds
+        if _is_ti_file(obj):
+            print(f"TI embeds {sorted(obj.keys())} from {path}")
             for token, tensor in obj.items():
-                weights[token] = tensor.detach().float().numpy()
-                metadata[token] = EMBED_FLAG
+                embeds[token] = tensor.detach().float().numpy()
             continue
-        # LoRA flat list
-        rank = int(settings.get(f"{name}.rank", 4))
-        target = settings.get(f"{name}.target_modules",
-                              UNET_DEFAULT_TARGET_REPLACE)
+
+        name = model_name_for(path)
+        if name in modelmap:
+            raise ValueError(
+                f"Two LoRA files map to model name {name!r} "
+                f"(second: {path}); rename one using the x.NAME.pt convention"
+            )
+        target = settings.get(
+            f"{name}.target_modules",
+            DEFAULT_TARGETS_BY_NAME.get(name, DEFAULT_TARGET_REPLACE),
+        )
         if isinstance(target, str):
-            target = set(t.strip() for t in target.split(","))
-        metadata[name] = json.dumps(list(target))
-        for i, w in enumerate(obj):
-            is_up = i % 2 == 0
-            idx = i // 2
-            arr = w.detach().numpy()
-            if is_up:
-                metadata[f"{name}:{idx}:rank"] = str(rank)
-                weights[f"{name}:{idx}:up"] = arr
-            else:
-                weights[f"{name}:{idx}:down"] = arr
+            target = [t.strip() for t in target.split(",")]
+        # keep the stored dtype (fp16 from save_lora_weight) so converted
+        # files match reference conversions byte-for-byte
+        pairs = pairs_from_flat([w.detach().cpu().numpy() for w in obj])
+        print(f"LoRA model {name!r} from {path}: {len(pairs)} sites, "
+              f"targets {sorted(target)}")
+        modelmap[name] = (pairs, target)
 
     print(f"Saving weights to {outpath}")
-    save_file(weights, outpath, metadata)
+    save_safeloras_with_embeds(modelmap, embeds, outpath)
 
 
 def main():
@@ -71,7 +112,9 @@ def main():
             paths.append(a)
             i += 1
     outpath = kwargs.pop("outpath")
-    convert(*paths, outpath=outpath, **kwargs)
+    overwrite = str(kwargs.pop("overwrite", "false")).lower() in (
+        "true", "1", "yes", "")
+    convert(*paths, outpath=outpath, overwrite=overwrite, **kwargs)
 
 
 if __name__ == "__main__":

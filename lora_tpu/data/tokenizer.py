@@ -218,10 +218,17 @@ class CLIPTokenizer:
 
 
 def default_tokenizer(vocab_dir: Optional[str] = None,
-                      vocab_size: int = 49408) -> CLIPTokenizer:
+                      vocab_size: int = 49408,
+                      require_real: bool = False) -> CLIPTokenizer:
     """Load the real CLIP vocab if present (vocab.json + merges.txt in
     vocab_dir, vocab_dir/tokenizer, or $LORA_TPU_CLIP_VOCAB), else the
-    hashed fallback sized to the model's vocabulary."""
+    hashed fallback sized to the model's vocabulary.
+
+    The hashed fallback produces ids unrelated to the real CLIP vocabulary —
+    fine for hermetic tests, garbage conditioning with pretrained weights.
+    ``require_real=True`` (set by ``from_pretrained`` when it loaded real
+    weights) turns the silent fallback into an error unless the caller opts
+    in with LORA_TPU_ALLOW_HASHED_TOKENIZER=1."""
     for d in (vocab_dir, os.environ.get("LORA_TPU_CLIP_VOCAB")):
         if not d:
             continue
@@ -230,4 +237,21 @@ def default_tokenizer(vocab_dir: Optional[str] = None,
             if os.path.exists(vj):
                 return CLIPTokenizer.from_files(
                     vj, os.path.join(d, sub, "merges.txt"))
+    if require_real:
+        if os.environ.get("LORA_TPU_ALLOW_HASHED_TOKENIZER") != "1":
+            raise FileNotFoundError(
+                f"No CLIP vocab.json found under {vocab_dir!r} (or "
+                "$LORA_TPU_CLIP_VOCAB); refusing to pair pretrained weights "
+                "with the hashed test tokenizer. Provide tokenizer/vocab.json"
+                " + merges.txt, pass tokenizer=..., or set "
+                "LORA_TPU_ALLOW_HASHED_TOKENIZER=1 to override."
+            )
+        import warnings
+
+        warnings.warn(
+            "Using the crc32-hashed tokenizer with pretrained weights "
+            "(LORA_TPU_ALLOW_HASHED_TOKENIZER=1): prompt conditioning will "
+            "not match the real CLIP vocabulary.",
+            stacklevel=2,
+        )
     return CLIPTokenizer(vocab_size=vocab_size)

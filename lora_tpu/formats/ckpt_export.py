@@ -151,6 +151,40 @@ def _apply_map(params: Dict[str, np.ndarray], key_map: Dict[str, str],
     return out
 
 
+def _invert(key_map: Dict[str, str]) -> Dict[str, str]:
+    return {v: k for k, v in key_map.items()}
+
+
+def params_from_ckpt(checkpoint_path: str, unet_cfg: UNetConfig,
+                     vae_cfg: VAEConfig):
+    """Import a CompVis/A1111 ``.ckpt`` back into this framework's
+    (unet_params, text_params, vae_params) numpy dicts — the inverse of
+    :func:`convert_to_ckpt` (the reference only exports; importing makes
+    round-trips and community checkpoints loadable)."""
+    import torch
+
+    sd = torch.load(checkpoint_path, map_location="cpu",
+                    weights_only=False)["state_dict"]
+
+    groups = {"model.diffusion_model.": {}, "first_stage_model.": {},
+              "cond_stage_model.transformer.": {}}
+    for k, v in sd.items():
+        for prefix, d in groups.items():
+            if k.startswith(prefix):
+                d[k[len(prefix):]] = v.float().numpy()
+                break
+
+    unet_p = _apply_map(groups["model.diffusion_model."],
+                        _invert(unet_key_map(unet_cfg)), "")
+    vae_p = _apply_map(groups["first_stage_model."],
+                       _invert(vae_key_map(vae_cfg)), "")
+    # VAE attention projections come back as 1x1 convs; squeeze to linear
+    for k, v in vae_p.items():
+        if ".attentions.0." in k and k.endswith(".weight") and v.ndim == 4:
+            vae_p[k] = v[:, :, 0, 0]
+    return unet_p, groups["cond_stage_model.transformer."], vae_p
+
+
 def convert_to_ckpt(pipe, checkpoint_path: str, as_half: bool = True) -> None:
     """Export pipeline params to a CompVis .ckpt (torch file with
     {"state_dict": ...}) — reference convert_to_ckpt (to_ckpt_v2.py:198-232)."""

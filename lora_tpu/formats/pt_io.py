@@ -49,6 +49,26 @@ def load_lora_pt(path: str) -> List[np.ndarray]:
     return [w.detach().float().numpy() for w in weights]
 
 
+def save_lora_json(pairs: Sequence[Pair], path: str) -> None:
+    """Debug-format dump: flat interleaved [up0, down0, ...] as nested JSON
+    lists (reference save_lora_as_json, lora.py:439-448)."""
+    import json
+
+    weights = []
+    for up, down in pairs:
+        weights.append(np.asarray(up, dtype=np.float32).tolist())
+        weights.append(np.asarray(down, dtype=np.float32).tolist())
+    with open(path, "w") as f:
+        json.dump(weights, f)
+
+
+def load_lora_json(path: str) -> List[np.ndarray]:
+    import json
+
+    with open(path) as f:
+        return [np.asarray(w, dtype=np.float32) for w in json.load(f)]
+
+
 def save_ti_pt(embeds: Dict[str, np.ndarray], path: str) -> None:
     torch = _torch()
     torch.save(

@@ -17,6 +17,7 @@ lora_tpu.core.sites.  ``up`` is stored pre-multiplied by the module scale
 from __future__ import annotations
 
 import json
+import re
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,6 +51,17 @@ def save_safeloras_with_embeds(
     incoming dtypes so round-trips are byte-exact (golden fixtures exist in
     both F32 and F16).
     """
+    weights, metadata = build_safeloras(modelmap, embeds, cast_fp16)
+    save_file(weights, outpath, metadata)
+
+
+def build_safeloras(
+    modelmap: Dict[str, Tuple[Sequence[Pair], Iterable[str]]],
+    embeds: Dict[str, np.ndarray] = {},
+    cast_fp16: bool = False,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, str]]:
+    """Assemble the schema's (tensors, metadata) dicts without touching disk
+    (shared by save_safeloras_with_embeds and the in-memory join path)."""
     weights: Dict[str, np.ndarray] = {}
     metadata: Dict[str, str] = {}
 
@@ -69,7 +81,7 @@ def save_safeloras_with_embeds(
         metadata[token] = EMBED_FLAG
         weights[token] = np.asarray(tensor)
 
-    save_file(weights, outpath, metadata)
+    return weights, metadata
 
 
 def save_safeloras(
@@ -82,43 +94,51 @@ def save_safeloras(
 ParsedLora = Dict[str, Tuple[List[np.ndarray], List[int], List[str]]]
 
 
+# "{model}:{idx}:up|down" — the schema's only tensor-key shape besides bare
+# TI token names.
+_LORA_KEY = re.compile(r"^(?P<model>.+):(?P<idx>\d+):(?P<dir>up|down)$")
+
+
 def parse_safeloras(safeloras) -> ParsedLora:
     """Group a loaded safetensors handle back into per-model weight lists.
 
     Returns {"model": (flat [up0, down0, up1, down1, ...], ranks, target)}.
-    Reference: lora.py:538-596. Accepts any object with keys()/metadata()/
-    get_tensor() (our SafetensorsFile, the safetensors package handle, or the
-    in-memory join result).
+    Behavior matches the reference parser (lora.py:538-596); accepts any
+    object with keys()/metadata()/get_tensor() (our SafetensorsFile, the
+    safetensors package handle, or the in-memory join result).
     """
-    loras: ParsedLora = {}
-    metadata = safeloras.metadata()
-    get_name = lambda k: k.split(":")[0]
+    metadata = safeloras.metadata() or {}
+    # model -> {site index -> {"up"/"down": tensor}}
+    by_model: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
 
-    keys = sorted(safeloras.keys(), key=get_name)
-    from itertools import groupby
-
-    for name, module_keys in groupby(keys, get_name):
-        info = metadata.get(name)
+    for key in safeloras.keys():
+        hit = _LORA_KEY.match(key)
+        model = hit["model"] if hit else key
+        info = metadata.get(model)
         if not info:
             raise ValueError(
-                f"Tensor {name} has no metadata - is this a Lora safetensor?"
+                f"Tensor {model} has no metadata - is this a Lora safetensor?"
             )
-        if info == EMBED_FLAG:  # textual inversion embed, handled separately
+        if info == EMBED_FLAG:  # TI embed row; parse_safeloras_embeds' job
             continue
+        if hit is None:
+            raise ValueError(f"Unrecognized LoRA tensor key: {key!r}")
+        by_model.setdefault(model, {}).setdefault(int(hit["idx"]), {})[
+            hit["dir"]
+        ] = np.asarray(safeloras.get_tensor(key))
 
-        target = json.loads(info)
-        module_keys = list(module_keys)
-        ranks = [4] * (len(module_keys) // 2)
-        weights: List[Optional[np.ndarray]] = [None] * len(module_keys)
-        for key in module_keys:
-            _, idx, direction = key.split(":")
-            idx = int(idx)
-            ranks[idx] = int(metadata[f"{name}:{idx}:rank"])
-            weights[idx * 2 + (1 if direction == "down" else 0)] = np.asarray(
-                safeloras.get_tensor(key)
-            )
-        loras[name] = (weights, ranks, target)
-
+    loras: ParsedLora = {}
+    for model, sites in by_model.items():
+        target = json.loads(metadata[model])
+        n = max(sites) + 1
+        ranks = [
+            int(metadata.get(f"{model}:{i}:rank", 4)) for i in range(n)
+        ]
+        flat: List[Optional[np.ndarray]] = []
+        for i in range(n):
+            pair = sites.get(i, {})
+            flat += [pair.get("up"), pair.get("down")]
+        loras[model] = (flat, ranks, target)
     return loras
 
 
@@ -189,6 +209,7 @@ __all__ = [
     "DEFAULT_TARGET_REPLACE",
     "save_safeloras",
     "save_safeloras_with_embeds",
+    "build_safeloras",
     "parse_safeloras",
     "parse_safeloras_embeds",
     "load_safeloras",

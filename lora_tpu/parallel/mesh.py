@@ -112,5 +112,33 @@ def replicate_tree(tree, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    dp = mesh.shape["dp"]
+    for name, v in batch.items():
+        if v.shape[0] % dp != 0:
+            raise ValueError(
+                f"global batch axis of {name!r} ({v.shape[0]}) is not "
+                f"divisible by dp={dp}. Batch semantics are per-chip: the "
+                f"global batch is train_batch_size x dp, so pass the loader "
+                f"a multiple of dp (the trainers do this automatically)."
+            )
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def mesh_from_flags(data_parallel: bool = False, fsdp: int = 1,
+                    tp: int = 1) -> Optional[Mesh]:
+    """Trainer-facing mesh construction. Returns None when no parallelism is
+    requested (or only one device exists), else a (dp, fsdp, tp) mesh where
+    dp consumes the devices left over after fsdp*tp."""
+    n = len(jax.devices())
+    if not (data_parallel or fsdp > 1 or tp > 1) or n == 1:
+        return None
+    if n % (fsdp * tp) != 0:
+        raise ValueError(
+            f"fsdp({fsdp}) x tp({tp}) must divide the device count ({n})")
+    dp = n // (fsdp * tp) if data_parallel else 1
+    if dp * fsdp * tp != n:
+        raise ValueError(
+            f"mesh {dp}x{fsdp}x{tp} does not cover {n} devices; enable "
+            f"data_parallel or raise fsdp/tp")
+    return make_mesh(dp=dp, fsdp=fsdp, tp=tp)

@@ -218,7 +218,8 @@ class StableDiffusionPipeline:
         unet_p, text_p, vae_p, cfgs = load_pipeline_params(path, dtype)
         return cls(unet_params=unet_p, text_params=text_p, vae_params=vae_p,
                    tokenizer=tokenizer or default_tokenizer(
-                       path, vocab_size=cfgs[1].vocab_size),
+                       path, vocab_size=cfgs[1].vocab_size,
+                       require_real=True),
                    unet_cfg=cfgs[0], text_cfg=cfgs[1], vae_cfg=cfgs[2],
                    schedule=load_scheduler_config(path), dtype=dtype)
 

@@ -65,7 +65,13 @@ class DreamBoothConfig:
     mixed_precision: Optional[str] = None  # None | "bf16"
     cached_latents: bool = False
     cache_text_embeddings: bool = True  # auto-disabled when text trains
+    # mesh axes: dp consumes the devices left after fsdp*tp. Batch semantics
+    # are per-chip (the accelerate convention, train_lora_dreambooth.py:
+    # 632-638): global batch = train_batch_size x dp.
     data_parallel: bool = False
+    fsdp: int = 1            # shard frozen base weights (HBM savings)
+    tensor_parallel: int = 1  # shard attention/FFN matmuls
+    scale_lr: bool = False   # lr *= ga * per-chip batch * dp
     sample_guidance_scale: float = 7.5
     sample_steps: int = 50
 
@@ -106,6 +112,12 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     if cfg.with_prior_preservation:
         assert cfg.class_data_dir and cfg.class_prompt
         generate_class_images(pipe, cfg)
+
+    mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
+                                    cfg.tensor_parallel)
+    dp = mesh.shape["dp"] if mesh is not None else 1
+    # per-chip batch semantics: every chip sees train_batch_size examples
+    global_batch = cfg.train_batch_size * dp
 
     usites = unet_lora_sites(pipe.unet_cfg)
     trainable = {
@@ -168,35 +180,38 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             r = _random.Random(cfg.seed)
             while True:
                 lat = [inst[r.randrange(len(inst))]
-                       for _ in range(cfg.train_batch_size)]
+                       for _ in range(global_batch)]
                 if cfg.with_prior_preservation:
                     lat += [cls_items[r.randrange(len(cls_items))]
-                            for _ in range(cfg.train_batch_size)]
+                            for _ in range(global_batch)]
                 yield {"latents": np.stack([l for l, _ in lat]),
                        "input_ids": np.stack([i for _, i in lat])}
 
         loader = cached_db_loader()
     else:
+        # multihost: each process loads its slice of the global batch from
+        # its shard of the sample stream (docs/multihost.md)
+        local_batch = global_batch // jax.process_count()
         loader = prefetch(
-            data_loader(ds, cfg.train_batch_size, seed=cfg.seed,
-                        prior_preservation=cfg.with_prior_preservation))
+            data_loader(ds, local_batch, seed=cfg.seed,
+                        prior_preservation=cfg.with_prior_preservation,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count()))
 
+    lr_scale = (cfg.gradient_accumulation_steps * cfg.train_batch_size * dp
+                if cfg.scale_lr else 1)
     lrs = {"lora_unet": make_lr_schedule(
-        cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps,
+        cfg.lr_scheduler, cfg.learning_rate * lr_scale, cfg.max_train_steps,
         cfg.lr_warmup_steps)}
     if cfg.train_text_encoder:
         lrs["lora_text"] = make_lr_schedule(
-            cfg.lr_scheduler, cfg.learning_rate_text, cfg.max_train_steps,
-            cfg.lr_warmup_steps)
+            cfg.lr_scheduler, cfg.learning_rate_text * lr_scale,
+            cfg.max_train_steps, cfg.lr_warmup_steps)
     opt = make_optimizer(trainable, lrs,
                          weight_decay=cfg.adam_weight_decay,
                          max_grad_norm=cfg.max_grad_norm,
                          grad_accum=cfg.gradient_accumulation_steps,
                          low_memory=cfg.use_8bit_adam)
-
-    mesh = None
-    if cfg.data_parallel and len(jax.devices()) > 1:
-        mesh = mesh_lib.make_mesh(dp=len(jax.devices()))
 
     loss_cfg = LossConfig(
         cached_latents=cfg.cached_latents,
@@ -211,7 +226,9 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
 
     base = (pipe.unet_params, pipe.text_params, pipe.vae_params)
     if mesh is not None:
-        base = tuple(mesh_lib.shard_params(p, mesh) for p in base)
+        base = tuple(mesh_lib.shard_params(
+            p, mesh, use_fsdp=cfg.fsdp > 1, use_tp=cfg.tensor_parallel > 1)
+            for p in base)
         trainable = mesh_lib.replicate_tree(trainable, mesh)
     opt_state = opt.init(trainable)
     if mesh is not None:

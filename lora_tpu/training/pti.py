@@ -86,7 +86,10 @@ class PTIConfig:
     max_grad_norm: float = 1.0
     out_name: str = "final_lora"
     mixed_precision: Optional[str] = None
+    # mesh axes (per-chip batch semantics: global = train_batch_size x dp)
     data_parallel: bool = False
+    fsdp: int = 1
+    tensor_parallel: int = 1
     log_wandb: bool = False
 
 
@@ -151,7 +154,15 @@ def setup_ti(pipe: StableDiffusionPipeline, placeholder_tokens,
 
 def cache_latents(pipe, dataset, rng):
     """Pre-encode every image once through the VAE
-    (cli_lora_pti.py:141-151)."""
+    (cli_lora_pti.py:141-151).
+
+    Inpainting datasets additionally cache the masked-image latents and the
+    latent-resolution hole mask, so the training hot loop never runs the VAE
+    (the reference cannot cache inpainting at all, cli_lora_pti.py:856).
+    Trade-off vs the uncached path: one sampled hole per image is frozen for
+    the whole run instead of resampled per epoch."""
+    from .loss import _resize_mask_nearest
+
     encode = jax.jit(lambda x, k: vae_encode(pipe.vae_params, x, pipe.vae_cfg,
                                              k))
     items = []
@@ -163,6 +174,14 @@ def cache_latents(pipe, dataset, rng):
                 "input_ids": np.asarray(ex["instance_prompt_ids"], np.int64)}
         if "mask" in ex:
             item["mask"] = ex["mask"].astype(np.float32)
+        if "instance_masks" in ex:  # inpainting
+            rng, km = jax.random.split(rng)
+            mlat = encode(jnp.asarray(ex["instance_masked_images"])[None], km)
+            item["masked_image_latents"] = np.asarray(mlat[0])
+            small = _resize_mask_nearest(
+                jnp.asarray(ex["instance_masks"], jnp.float32)[None],
+                lat.shape[0], lat.shape[1])[0]
+            item["mask_values"] = np.asarray(small, np.float32)
         items.append(item)
     return items
 
@@ -178,11 +197,8 @@ def cached_loader(items, batch_size, seed=0):
             idxs = idxs + idxs
         for s in range(0, len(idxs) - batch_size + 1, batch_size):
             chunk = [items[i] for i in idxs[s:s + batch_size]]
-            batch = {"latents": np.stack([c["latents"] for c in chunk]),
-                     "input_ids": np.stack([c["input_ids"] for c in chunk])}
-            if "mask" in chunk[0]:
-                batch["mask"] = np.stack([c["mask"] for c in chunk])
-            yield batch
+            yield {key: np.stack([c[key] for c in chunk])
+                   for key in chunk[0]}
 
 
 def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
@@ -197,11 +213,16 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
     ti_ids, ti_init = setup_ti(pipe, placeholder_tokens, initializer_tokens,
                                k_ti)
 
+    mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
+                                    cfg.tensor_parallel)
+    dp = mesh.shape["dp"] if mesh is not None else 1
+    global_batch = cfg.train_batch_size * dp  # per-chip batch semantics
+
     ga = cfg.gradient_accumulation_steps
     if cfg.scale_lr:
-        unet_lr = cfg.learning_rate_unet * ga * cfg.train_batch_size
-        text_lr = cfg.learning_rate_text * ga * cfg.train_batch_size
-        ti_lr = cfg.learning_rate_ti * ga * cfg.train_batch_size
+        unet_lr = cfg.learning_rate_unet * ga * cfg.train_batch_size * dp
+        text_lr = cfg.learning_rate_text * ga * cfg.train_batch_size * dp
+        ti_lr = cfg.learning_rate_ti * ga * cfg.train_batch_size * dp
     else:
         unet_lr, text_lr, ti_lr = (cfg.learning_rate_unet,
                                    cfg.learning_rate_text,
@@ -221,25 +242,23 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         seed=cfg.seed,
     )
 
-    if cfg.train_inpainting:
-        assert not cfg.cached_latents, \
-            "Cached latents not supported for inpainting"
-
     if cfg.cached_latents:
         rng, k_cache = jax.random.split(rng)
         items = cache_latents(pipe, dataset, k_cache)
-        loader = cached_loader(items, cfg.train_batch_size, cfg.seed)
+        loader = cached_loader(items, global_batch, cfg.seed)
     else:
         from ..data.dataset import data_loader, prefetch
 
-        loader = prefetch(data_loader(dataset, cfg.train_batch_size,
-                                      seed=cfg.seed))
-
-    mesh = None
-    if cfg.data_parallel and len(jax.devices()) > 1:
-        mesh = mesh_lib.make_mesh(dp=len(jax.devices()))
+        local_batch = global_batch // jax.process_count()
+        loader = prefetch(data_loader(dataset, local_batch, seed=cfg.seed,
+                                      process_index=jax.process_index(),
+                                      process_count=jax.process_count()))
 
     base = (pipe.unet_params, pipe.text_params, pipe.vae_params)
+    if mesh is not None:
+        base = tuple(mesh_lib.shard_params(
+            p, mesh, use_fsdp=cfg.fsdp > 1, use_tp=cfg.tensor_parallel > 1)
+            for p in base)
     usites = unet_lora_sites(pipe.unet_cfg,
                              set(cfg.lora_unet_target_modules)
                              | (UNET_EXTENDED_TARGET_REPLACE

@@ -138,21 +138,57 @@ def test_svd_distill_conv_shapes():
     assert up.shape == (8, 2, 1, 1) and down.shape == (2, 4, 3, 3)
 
 
-def test_pt_to_safetensors(tmp_path):
+def test_pt_to_safetensors_reference_filenames(pipe, tmp_path):
+    """Converting the reference DreamBooth output pair must map
+    lora_weight.pt -> unet and lora_weight.text_encoder.pt -> text_encoder
+    (reference cli_pt_to_safetensors.py:57-66), and the result must be
+    loadable by patch_pipe."""
     import torch
 
-    from lora_tpu.cli.pt_to_safetensors import convert
+    from lora_tpu.cli.pt_to_safetensors import convert, model_name_for
+    from lora_tpu.formats.pt_io import save_lora_pt
     from lora_tpu.formats.safetensors_io import load_safeloras_both
 
-    lora_path = str(tmp_path / "unet.pt")
-    ti_path = str(tmp_path / "embeds.pt")
-    torch.save([torch.ones(4, 2), torch.ones(2, 8)], lora_path)
-    torch.save({"<tok>": torch.zeros(16)}, ti_path)
+    assert model_name_for("/x/lora_weight.pt") == "unet"
+    assert model_name_for("lora_weight.text_encoder.pt") == "text_encoder"
+    assert model_name_for("a/b.custom.pt") == "custom"
+
+    unet_pairs = lora_to_pairs(
+        init_lora(pipe.unet_sites(), r=2, rng=jax.random.PRNGKey(0)),
+        pipe.unet_sites())
+    text_pairs = lora_to_pairs(
+        init_lora(pipe.text_sites(), r=2, rng=jax.random.PRNGKey(1)),
+        pipe.text_sites())
+    lora_path = str(tmp_path / "lora_weight.pt")
+    text_path = str(tmp_path / "lora_weight.text_encoder.pt")
+    ti_path = str(tmp_path / "lora_weight.ti.pt")
+    save_lora_pt(unet_pairs, lora_path)
+    save_lora_pt(text_pairs, text_path)
+    torch.save({"<tok>": torch.zeros(TINY_TEXT.hidden_size)}, ti_path)
+
     out = str(tmp_path / "conv.safetensors")
-    convert(lora_path, ti_path, outpath=out, **{"unet.rank": 2})
+    convert(lora_path, text_path, ti_path, outpath=out)
     loras, embeds = load_safeloras_both(out)
-    assert loras["unet"][1] == [2]
+    assert set(loras) == {"unet", "text_encoder"}
+    assert loras["unet"][1] == [2] * len(unet_pairs)
+    assert loras["text_encoder"][1] == [2] * len(text_pairs)
     assert "<tok>" in embeds
+
+    # round-trip through patch_pipe: model keys are the ones it looks for
+    tokens = pipe.patch_pipe(out)
+    assert pipe.lora_unet is not None and pipe.lora_text is not None
+    assert "<tok>" in tokens
+    pipe.remove_lora()
+
+    # refuses to overwrite without the flag, and to collide model names
+    with pytest.raises(ValueError, match="already exists"):
+        convert(lora_path, outpath=out)
+    dup = str(tmp_path / "sub")
+    os.makedirs(dup, exist_ok=True)
+    dup_path = os.path.join(dup, "lora_weight.pt")
+    save_lora_pt(unet_pairs, dup_path)
+    with pytest.raises(ValueError, match="map to model name"):
+        convert(lora_path, dup_path, outpath=str(tmp_path / "dup.safetensors"))
 
 
 def test_ckpt_export_keys(pipe, tmp_path):

@@ -112,3 +112,16 @@ def test_embed_flag_separation(tmp_path):
         embeds = parse_safeloras_embeds(f)
     assert list(loras) == ["unet"] and loras["unet"][1] == [2]
     np.testing.assert_array_equal(embeds["<tok>"], emb["<tok>"])
+
+
+def test_save_lora_json_roundtrip(tmp_path):
+    from lora_tpu.formats.pt_io import load_lora_json, save_lora_json
+
+    pairs = [(np.ones((4, 2), np.float32) * 0.5,
+              np.arange(6, dtype=np.float32).reshape(2, 3))]
+    p = str(tmp_path / "lora.json")
+    save_lora_json(pairs, p)
+    flat = load_lora_json(p)
+    assert len(flat) == 2
+    np.testing.assert_array_equal(flat[0], pairs[0][0])
+    np.testing.assert_array_equal(flat[1], pairs[0][1])

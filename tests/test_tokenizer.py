@@ -82,3 +82,20 @@ def test_hashed_fallback_deterministic():
 def test_bytes_to_unicode_covers_all_bytes():
     m = bytes_to_unicode()
     assert len(m) == 256 and len(set(m.values())) == 256
+
+
+def test_hashed_fallback_refused_with_real_weights(tmp_path, monkeypatch):
+    """default_tokenizer(require_real=True) must not silently degrade to
+    hashed ids when the model dir has no vocab (VERDICT r1, weak #6)."""
+    import pytest
+
+    from lora_tpu.data.tokenizer import default_tokenizer
+
+    monkeypatch.delenv("LORA_TPU_ALLOW_HASHED_TOKENIZER", raising=False)
+    monkeypatch.delenv("LORA_TPU_CLIP_VOCAB", raising=False)
+    with pytest.raises(FileNotFoundError, match="vocab.json"):
+        default_tokenizer(str(tmp_path), require_real=True)
+    monkeypatch.setenv("LORA_TPU_ALLOW_HASHED_TOKENIZER", "1")
+    with pytest.warns(UserWarning, match="hashed tokenizer"):
+        tok = default_tokenizer(str(tmp_path), require_real=True)
+    assert len(tok("x")["input_ids"][0]) == 77

@@ -1,0 +1,116 @@
+"""Cross-implementation numerics: JAX UNet/VAE vs the independent torch
+oracle (tests/torch_oracle.py), bridged by the CompVis export.
+
+This is the UNet/VAE analogue of tests/test_clip_hf_parity.py: the same
+weights loaded into two independently-written implementations must produce
+the same outputs. Catches transcription errors (GroupNorm eps, GEGLU split
+order, skip-concat order, timestep embedding, attention scaling) that
+self-golden fixtures cannot see."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_oracle as oracle
+from lora_tpu.formats.ckpt_export import convert_to_ckpt
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET, TINY_VAE
+from lora_tpu.models.unet import unet_forward
+from lora_tpu.models.vae import vae_decode, vae_encode_moments
+from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(42), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    path = str(tmp_path_factory.mktemp("ckpt") / "oracle.ckpt")
+    convert_to_ckpt(pipe, path, as_half=False)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+    return pipe, unet_sd, vae_sd
+
+
+def test_unet_matches_torch_oracle(exported):
+    pipe, unet_sd, _ = exported
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 16, 16
+    x = rng.randn(B, H, W, TINY_UNET.in_channels).astype(np.float32)
+    t = np.array([17.0, 901.0], np.float32)
+    ctx = rng.randn(B, 5, TINY_UNET.cross_attention_dim).astype(np.float32)
+
+    ours = unet_forward(pipe.unet_params, jnp.asarray(x), jnp.asarray(t),
+                        jnp.asarray(ctx), TINY_UNET)
+    with torch.no_grad():
+        ref = oracle.unet_forward(
+            unet_sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t), torch.from_numpy(ctx),
+            heads=TINY_UNET.num_attention_heads,
+            groups=TINY_UNET.norm_num_groups)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4)
+
+
+def test_timestep_embedding_matches_oracle():
+    from lora_tpu.models.layers import timestep_embedding
+
+    t = np.array([0.0, 1.0, 37.0, 999.0], np.float32)
+    ours = timestep_embedding(
+        jnp.asarray(t), TINY_UNET.block_out_channels[0],
+        flip_sin_to_cos=TINY_UNET.flip_sin_to_cos,
+        freq_shift=TINY_UNET.freq_shift)
+    ref = oracle.timestep_embedding(torch.from_numpy(t),
+                                    TINY_UNET.block_out_channels[0])
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-5)
+
+
+def test_vae_encoder_matches_torch_oracle(exported):
+    pipe, _, vae_sd = exported
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    ours = vae_encode_moments(pipe.vae_params, jnp.asarray(x), TINY_VAE)
+    with torch.no_grad():
+        ref = oracle.vae_encode_moments(
+            vae_sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            groups=TINY_VAE.norm_num_groups)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4)
+
+
+def test_vae_decoder_matches_torch_oracle(exported):
+    pipe, _, vae_sd = exported
+    rng = np.random.RandomState(2)
+    z = rng.randn(1, 4, 4, TINY_VAE.latent_channels).astype(np.float32)
+    # vae_decode takes the scaled latent; the oracle takes the raw one
+    ours = vae_decode(pipe.vae_params,
+                      jnp.asarray(z) * TINY_VAE.scaling_factor, TINY_VAE)
+    with torch.no_grad():
+        ref = oracle.vae_decode(
+            vae_sd, torch.from_numpy(z.transpose(0, 3, 1, 2)),
+            groups=TINY_VAE.norm_num_groups)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=2e-4)
+
+
+def test_ckpt_export_reimport_identity(exported, tmp_path):
+    """convert_to_ckpt -> params_from_ckpt is the identity on every tensor
+    (forward identity follows from test_*_matches_torch_oracle)."""
+    from lora_tpu.formats.ckpt_export import convert_to_ckpt, params_from_ckpt
+
+    pipe, _, _ = exported
+    path = str(tmp_path / "rt.ckpt")
+    convert_to_ckpt(pipe, path, as_half=False)
+    unet_p, text_p, vae_p = params_from_ckpt(path, TINY_UNET, TINY_VAE)
+    for got, want in ((unet_p, pipe.unet_params), (text_p, pipe.text_params),
+                      (vae_p, pipe.vae_params)):
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], np.asarray(want[k]), err_msg=k)

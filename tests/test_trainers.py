@@ -163,6 +163,44 @@ def test_pti_extended_continue_inversion_masked(pipe, image_dir, tmp_path):
     assert p2.lora_unet is not None
 
 
+def test_pti_inpainting_cached_latents(pipe, image_dir, tmp_path):
+    """Inpainting PTI with cached latents: masked-image latents and the
+    latent-res hole mask are pre-encoded, so the hot loop runs no VAE
+    (beyond-reference — cli_lora_pti.py:856 asserts this combination out)."""
+    import dataclasses
+
+    out = str(tmp_path / "pti_inpaint")
+    cfg = PTIConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        placeholder_tokens="<s1>",
+        use_template="object",
+        resolution=64,
+        lora_rank=2,
+        max_train_steps_ti=1,
+        max_train_steps_tuning=2,
+        save_steps=0,
+        gradient_accumulation_steps=1,
+        cached_latents=True,
+        train_inpainting=True,
+        train_text_encoder=False,
+        seed=5,
+    )
+    p = dataclasses.replace(pipe)
+    # the inpainting UNet consumes latents+mask+masked latents (4+1+4)
+    import lora_tpu.models.config as mcfg
+
+    inpaint_cfg = dataclasses.replace(TINY_UNET, in_channels=9)
+    p.unet_cfg = inpaint_cfg
+    from lora_tpu.models.unet import init_unet
+
+    p.unet_params = init_unet(inpaint_cfg, jax.random.PRNGKey(9))
+    p.tokenizer = type(pipe.tokenizer)(vocab_size=TINY_TEXT.vocab_size)
+    res = train_pti(p, cfg)
+    assert np.isfinite(res["final_loss"])
+    assert os.path.exists(os.path.join(out, "final_lora.safetensors"))
+
+
 def test_pti_token_validation(pipe):
     cfg = PTIConfig(placeholder_tokens="<s2>|<s1>")  # unsorted
     with pytest.raises(AssertionError):

