@@ -6,7 +6,14 @@ Baseline: the rebuild target is 800 steps in <2 min on a v5e-8
 (BASELINE.json), i.e. 6.67 steps/s on 8 chips = 0.833 steps/s/chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N,
+   "mfu_pct": ...}
+
+`python bench.py --full` additionally measures batch scaling (bs 4/8) and
+the uncached path (VAE encode inside the jitted step) — several extra XLA
+compiles, so it is not the default. Timing and FLOP counting share one
+compiled executable (AOT via .lower().compile()), so MFU reflects exactly
+the program being timed.
 """
 
 import json
@@ -18,79 +25,149 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip the big XLA compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 BASELINE_STEPS_PER_SEC_PER_CHIP = 800.0 / 120.0 / 8.0  # 0.833
+PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) per chip
 
 
-def main():
+def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
+    """Compile ONE executable for this config; return (steps/sec, mfu%)."""
     from lora_tpu.core.lora import init_lora
     from lora_tpu.core.sites import unet_lora_sites
-    from lora_tpu.models import schedulers
-    from lora_tpu.models.clip import init_clip_text
+    from lora_tpu.models.clip import clip_text_forward
     from lora_tpu.models.config import SD15_TEXT, SD15_UNET, SD15_VAE
-    from lora_tpu.models.unet import init_unet
     from lora_tpu.training.loss import LossConfig
     from lora_tpu.training.optim import make_optimizer
     from lora_tpu.training.train_step import make_train_step
 
     dtype = jnp.bfloat16
-    rng = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(rng, 3)
-    unet_p = init_unet(SD15_UNET, k1, dtype=dtype)
-    text_p = init_clip_text(SD15_TEXT, k2, dtype=dtype)
-    vae_p = {}  # cached latents: VAE out of the hot loop (cli_lora_pti.py:141-151)
-
-    trainable = {
-        "lora_unet": init_lora(unet_lora_sites(SD15_UNET), r=4, rng=k3),
-    }
+    unet_p, text_p, vae_p, sched, k3 = models
+    trainable = {"lora_unet": init_lora(unet_lora_sites(SD15_UNET), r=4,
+                                        rng=k3)}
     opt = make_optimizer(trainable, {"lora_unet": 1e-4})
-    sched = schedulers.make_schedule()
     step = make_train_step(
-        unet_cfg=SD15_UNET, text_cfg=SD15_TEXT, vae_cfg=SD15_VAE, sched=sched,
-        loss_cfg=LossConfig(cached_latents=True), optimizer=opt, dtype=dtype)
+        unet_cfg=SD15_UNET, text_cfg=SD15_TEXT, vae_cfg=SD15_VAE,
+        sched=sched, loss_cfg=LossConfig(cached_latents=cached),
+        optimizer=opt, dtype=dtype)
 
-    B = 1  # per-chip batch of the reference recipe
-    # unet-only training: prompts are fixed -> text embeddings precomputed
-    # once (trainers do the same via cache_text_embeddings)
-    from lora_tpu.models.clip import clip_text_forward
-
-    ids = jax.random.randint(jax.random.PRNGKey(6), (B, 77), 0, 49000)
-    enc = jax.jit(lambda p, i: clip_text_forward(p, i, SD15_TEXT,
-                                                 dtype=dtype))(text_p, ids)
-    batch = {
-        "latents": jax.random.normal(jax.random.PRNGKey(5), (B, 64, 64, 4),
-                                     dtype),
-        "encoder_hidden_states": enc,
-    }
+    # unet-only training: fixed prompts -> text embeddings precomputed once
+    # (the trainers' cache_text_embeddings fast path)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (batch_size, 77), 0, 49000)
+    enc = jax.jit(lambda p, i: clip_text_forward(
+        p, i, SD15_TEXT, dtype=dtype))(text_p, ids)
+    batch = {"encoder_hidden_states": enc}
+    if cached:
+        batch["latents"] = jax.random.normal(
+            jax.random.PRNGKey(5), (batch_size, 64, 64, 4), dtype)
+    else:
+        batch["pixel_values"] = jax.random.normal(
+            jax.random.PRNGKey(5), (batch_size, 512, 512, 3), dtype)
+    base = (unet_p, text_p, vae_p if not cached else {})
     opt_state = opt.init(trainable)
+    rng0 = jax.random.PRNGKey(7)
 
-    # warmup / compile
-    trainable, opt_state, loss = step(trainable, opt_state,
-                                      (unet_p, text_p, vae_p), batch,
-                                      jax.random.PRNGKey(7))
+    compiled = step.lower(trainable, opt_state, base, batch, rng0).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # warmup on the same executable
+    trainable, opt_state, loss = compiled(trainable, opt_state, base, batch,
+                                          rng0)
     jax.block_until_ready(loss)
 
-    # best of 3 windows: the shared-tunnel environment adds run-to-run
-    # interference; best-of measures the hardware, not the neighbors
-    n_steps = 30
+    # best-of windows: the shared tunnel adds run-to-run interference;
+    # best-of measures the hardware, not the neighbors
     sps = 0.0
-    for w in range(3):
+    for w in range(windows):
         t0 = time.perf_counter()
         for i in range(n_steps):
-            trainable, opt_state, loss = step(trainable, opt_state,
-                                              (unet_p, text_p, vae_p), batch,
-                                              jax.random.fold_in(
-                                                  jax.random.PRNGKey(8),
-                                                  w * n_steps + i))
+            trainable, opt_state, loss = compiled(
+                trainable, opt_state, base, batch,
+                jax.random.fold_in(jax.random.PRNGKey(8), w * n_steps + i))
         jax.block_until_ready(loss)
         sps = max(sps, n_steps / (time.perf_counter() - t0))
+    mfu = round(100.0 * sps * flops / PEAK_BF16_FLOPS, 1) if flops else None
+    return sps, mfu, flops
 
-    print(json.dumps({
+
+def _make_models(need_vae: bool):
+    from lora_tpu.models import schedulers
+    from lora_tpu.models.clip import init_clip_text
+    from lora_tpu.models.config import SD15_TEXT, SD15_UNET, SD15_VAE
+    from lora_tpu.models.unet import init_unet
+    from lora_tpu.models.vae import init_vae
+
+    dtype = jnp.bfloat16
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    return (init_unet(SD15_UNET, k1, dtype=dtype),
+            init_clip_text(SD15_TEXT, k2, dtype=dtype),
+            init_vae(SD15_VAE, k4, dtype=dtype) if need_vae else {},
+            schedulers.make_schedule(), k3)
+
+
+def one(spec: str):
+    """Measure a single config: `--one <bs>:<cached|uncached>` (used to split
+    the full matrix across processes; each big graph compiles in its own
+    process within the tunnel's time budget)."""
+    bs, kind = spec.split(":")
+    cached = kind == "cached"
+    models = _make_models(need_vae=not cached)
+    s, m, fl = _bench_config(int(bs), cached=cached, models=models,
+                             n_steps=15, windows=2)
+    print(json.dumps({"config": spec, "steps_per_sec": round(s, 3),
+                      "images_per_sec": round(s * int(bs), 2),
+                      "mfu_pct": m, "flops_per_step": fl}))
+
+
+def main(full: bool = False):
+    models = _make_models(need_vae=full)
+
+    sps, mfu, flops = _bench_config(1, cached=True, models=models)
+    out = {
         "metric": "dreambooth_lora_rank4_train_steps_per_sec_per_chip",
         "value": round(sps, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
-    }))
+        "mfu_pct": mfu,
+        "flops_per_step": flops,
+    }
+
+    if full:
+        scaling = {}
+        for bs in (4, 8):
+            s, m, _ = _bench_config(bs, cached=True, models=models,
+                                    n_steps=15, windows=2)
+            scaling[str(bs)] = {"steps_per_sec": round(s, 3),
+                                "images_per_sec": round(s * bs, 2),
+                                "mfu_pct": m}
+        out["batch_scaling_cached"] = scaling
+        unc = {}
+        for bs in (1, 4):
+            s, m, _ = _bench_config(bs, cached=False, models=models,
+                                    n_steps=15, windows=2)
+            unc[str(bs)] = {"steps_per_sec": round(s, 3),
+                            "images_per_sec": round(s * bs, 2),
+                            "mfu_pct": m}
+        out["uncached_vae_in_loop"] = unc
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv[1:]:
+        one(sys.argv[sys.argv.index("--one") + 1])
+    else:
+        main(full="--full" in sys.argv[1:])

@@ -415,6 +415,29 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         yield item
 
 
+def device_prefetch(iterator: Iterator, depth: int = 2,
+                    sharding=None) -> Iterator:
+    """Device-side prefetch: eagerly `jax.device_put` the next `depth`
+    batches so host->device transfer overlaps the running step (transfers
+    are async; the step executes while the next batch uploads). Combine with
+    `prefetch` for host-side decode overlap:
+    `device_prefetch(prefetch(data_loader(...)))`."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class DreamBoothTiDataset(DreamBoothDataset):
     """Legacy TI+LoRA dataset (train_lora_w_ti.py DreamBoothTiDataset):
     templated captions around the placeholder token with stochastic

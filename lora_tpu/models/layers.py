@@ -27,6 +27,8 @@ from ..core.lora import lora_delta_conv, lora_delta_dense
 
 Params = Dict[str, jax.Array]
 
+_QUANT_SCALE_SUFFIX = "_scale"  # core/quantize.py companion-key convention
+
 
 def _lora_entry(lora, name):
     if lora is None:
@@ -54,8 +56,19 @@ def _weight(p: Params, key: str, dtype) -> jax.Array:
 
 
 def dense(p: Params, name: str, x: jax.Array, lora=None) -> jax.Array:
-    w = _weight(p, name + ".weight", x.dtype)
-    y = x @ w.T
+    wq = p[name + ".weight"]
+    if wq.dtype == jnp.int8 and wq.ndim == 2:
+        from ..ops import int8_matmul as i8
+
+        if i8.supported(x, wq):
+            # Pallas kernel: int8 tiles stream from HBM, dequant in VMEM —
+            # weight bandwidth stays halved (ops/int8_matmul.py)
+            y = i8.int8_matmul(x, wq, p[name + ".weight" +
+                                        _QUANT_SCALE_SUFFIX])
+        else:
+            y = x @ _weight(p, name + ".weight", x.dtype).T
+    else:
+        y = x @ _weight(p, name + ".weight", x.dtype).T
     b = p.get(name + ".bias")
     if b is not None:
         y = y + b.astype(x.dtype)

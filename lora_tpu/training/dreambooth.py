@@ -191,12 +191,16 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     else:
         # multihost: each process loads its slice of the global batch from
         # its shard of the sample stream (docs/multihost.md)
+        from ..data.dataset import device_prefetch
+
         local_batch = global_batch // jax.process_count()
-        loader = prefetch(
+        loader = device_prefetch(prefetch(
             data_loader(ds, local_batch, seed=cfg.seed,
                         prior_preservation=cfg.with_prior_preservation,
                         process_index=jax.process_index(),
-                        process_count=jax.process_count()))
+                        process_count=jax.process_count())),
+            sharding=mesh_lib.batch_sharding(mesh) if mesh is not None
+            else None)
 
     lr_scale = (cfg.gradient_accumulation_steps * cfg.train_batch_size * dp
                 if cfg.scale_lr else 1)

@@ -247,12 +247,15 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         items = cache_latents(pipe, dataset, k_cache)
         loader = cached_loader(items, global_batch, cfg.seed)
     else:
-        from ..data.dataset import data_loader, prefetch
+        from ..data.dataset import data_loader, device_prefetch, prefetch
 
         local_batch = global_batch // jax.process_count()
-        loader = prefetch(data_loader(dataset, local_batch, seed=cfg.seed,
-                                      process_index=jax.process_index(),
-                                      process_count=jax.process_count()))
+        loader = device_prefetch(
+            prefetch(data_loader(dataset, local_batch, seed=cfg.seed,
+                                 process_index=jax.process_index(),
+                                 process_count=jax.process_count())),
+            sharding=mesh_lib.batch_sharding(mesh) if mesh is not None
+            else None)
 
     base = (pipe.unet_params, pipe.text_params, pipe.vae_params)
     if mesh is not None:

@@ -161,7 +161,12 @@ def evaluate_pipe(
         gen_images.append(to_pil(imgs[0]))
         prompts.append(template.replace("<obj>", class_token))
 
-    if clip_model_sets is not None:
+    if isinstance(clip_model_sets, dict):  # in-framework JAX CLIP scorer
+        results.update(clip_alignment_scores_jax(
+            gen_images, prompts, target_images,
+            clip_model_sets["params"], clip_model_sets["vision_cfg"],
+            clip_model_sets["text_cfg"], clip_model_sets["tokenizer"]))
+    elif clip_model_sets is not None:  # local torch CLIP checkpoint
         import torch
 
         model, processor = clip_model_sets

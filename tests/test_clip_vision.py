@@ -65,3 +65,34 @@ def test_preprocess_images_normalization():
     # 0.5 gray under CLIP normalization
     expect = (0.50196 - 0.48145466) / 0.26862954
     np.testing.assert_allclose(float(out[0, 0, 0, 0]), expect, atol=1e-3)
+
+
+def test_evaluate_pipe_with_jax_scorer():
+    """evaluate_pipe end-to-end: tiny pipe generation + the in-framework
+    JAX CLIP alignment scorer (no torch checkpoint needed)."""
+    from lora_tpu.models.config import TINY_UNET, TINY_VAE
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+    from lora_tpu.utils.eval import evaluate_pipe
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    vp = init_clip_vision(TINY_VISION, jax.random.PRNGKey(4))
+    tp = init_clip_text(TINY_TEXT, jax.random.PRNGKey(5))
+    sets = {
+        "params": {**vp, **tp,
+                   "text_projection.weight": jax.random.normal(
+                       jax.random.PRNGKey(6),
+                       (TINY_VISION.projection_dim,
+                        TINY_TEXT.hidden_size)) * 0.02},
+        "vision_cfg": TINY_VISION, "text_cfg": TINY_TEXT,
+        "tokenizer": pipe.tokenizer,
+    }
+    rs = np.random.RandomState(1)
+    targets = [Image.fromarray((rs.rand(64, 64, 3) * 255).astype(np.uint8))]
+    scores = evaluate_pipe(pipe, targets, class_token="dog",
+                           learnt_token="<s1>", clip_model_sets=sets,
+                           n_test=2, n_step=2)
+    assert scores["n_images"] == 2
+    assert "text_alignment_avg" in scores and "image_alignment_avg" in scores
+    assert np.isfinite(scores["text_alignment_avg"])

@@ -169,3 +169,25 @@ def test_load_image_norm_range(tmp_path):
     arr = load_image_norm(img, 32)
     assert arr.shape == (32, 32, 3)
     np.testing.assert_allclose(arr, 1.0, atol=1e-6)
+
+
+def test_device_prefetch_preserves_stream():
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from lora_tpu.data.dataset import device_prefetch
+
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((2, 2), i, np.float32)}
+
+    got = list(device_prefetch(gen(), depth=2))
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))
+    # endless iterators stay lazy
+    lazy = device_prefetch(({"x": np.zeros(1)} for _ in itertools.count()))
+    next(lazy); next(lazy)

@@ -68,3 +68,28 @@ def test_memory_halves():
         return sum(np.asarray(v).nbytes for v in d.values())
 
     assert nbytes(q) < 0.7 * nbytes(params)
+
+
+def test_int8_matmul_kernel_matches_dequant():
+    """Pallas dequant-inside-matmul == XLA dequantize-then-matmul, including
+    non-128-aligned M/N/K (SD dims like 320) via internal padding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lora_tpu.core.quantize import quantize_params_int8
+    from lora_tpu.ops.int8_matmul import int8_matmul
+
+    rs = np.random.RandomState(0)
+    for M, N, K in ((100, 320, 320), (256, 512, 1280), (7, 77, 64)):
+        w = jnp.asarray(rs.randn(N, K).astype(np.float32) * 0.05)
+        q = quantize_params_int8({"lin.weight": w})
+        x = jnp.asarray(rs.randn(2, M, K).astype(np.float32))
+        got = int8_matmul(x, q["lin.weight"], q["lin.weight_scale"])
+        want = x @ (q["lin.weight"].astype(jnp.float32)
+                    * q["lin.weight_scale"][:, None]).T
+        assert got.shape == (2, M, N)
+        # kernel casts inputs to bf16 for the MXU; the reference keeps f32,
+        # so tolerance = bf16 rounding over a K-term accumulation
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

@@ -114,3 +114,79 @@ def test_ckpt_export_reimport_identity(exported, tmp_path):
         assert set(got) == set(want)
         for k in want:
             np.testing.assert_array_equal(got[k], np.asarray(want[k]), err_msg=k)
+
+
+def test_full_txt2img_matches_torch_stack(exported):
+    """END-TO-END cross-implementation image check: the full txt2img path
+    (tokenize -> CLIP -> CFG DDIM loop -> VAE decode -> [0,1] image) against
+    a second stack built from independent parts — transformers'
+    CLIPTextModel, the torch-oracle UNet/VAE, and a from-the-paper DDIM
+    stepper written here. Same weights, same initial latents. This is the
+    BASELINE.json image-parity bar (<=1e-3 max pixel delta) applied at
+    random-init weights; with SD-1.5 weights mounted the identical path runs
+    via examples/golden_parity.py."""
+    import torch.nn.functional as F
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModel
+
+    pipe, unet_sd, vae_sd = exported
+    steps, guidance = 3, 7.5
+    B, H, W = 1, 64, 64
+
+    # ---- ours ----
+    rng = jax.random.PRNGKey(11)
+    lat0 = pipe.prepare_latents(B, H, W, rng)
+    ours = pipe("a tiny town", num_inference_steps=steps,
+                guidance_scale=guidance, height=H, width=W,
+                latents=lat0, scheduler="ddim")
+
+    # ---- theirs: HF CLIP text encoder with the same weights ----
+    hf_cfg = HFTextConfig(
+        vocab_size=TINY_TEXT.vocab_size, hidden_size=TINY_TEXT.hidden_size,
+        intermediate_size=TINY_TEXT.intermediate_size,
+        num_hidden_layers=TINY_TEXT.num_hidden_layers,
+        num_attention_heads=TINY_TEXT.num_attention_heads,
+        max_position_embeddings=TINY_TEXT.max_position_embeddings,
+        hidden_act="quick_gelu", attention_dropout=0.0)
+    text_model = CLIPTextModel(hf_cfg).eval()
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in pipe.text_params.items()}
+    missing, unexpected = text_model.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all("position_ids" in k for k in missing)
+
+    def encode(texts):
+        ids = torch.tensor(pipe.tokenizer(texts)["input_ids"])
+        with torch.no_grad():
+            return text_model(ids).last_hidden_state
+
+    cond, uncond = encode(["a tiny town"]), encode([""])
+
+    # ---- theirs: CFG DDIM loop from the paper's update rule ----
+    abar = torch.from_numpy(np.asarray(pipe.schedule.alphas_cumprod))
+    T = pipe.schedule.num_train_timesteps
+    ratio = T // steps
+    ts = (np.arange(steps) * ratio).round()[::-1].astype(np.int64) \
+        + pipe.schedule.steps_offset
+    x = torch.from_numpy(np.asarray(lat0).transpose(0, 3, 1, 2))
+    ctx = torch.cat([uncond, cond], 0)
+    with torch.no_grad():
+        for t in ts:
+            inp = torch.cat([x, x], 0)
+            tt = torch.full((2 * B,), float(t))
+            eps2 = oracle.unet_forward(
+                unet_sd, inp, tt, ctx, heads=TINY_UNET.num_attention_heads,
+                groups=TINY_UNET.norm_num_groups)
+            eps = eps2[:B] + guidance * (eps2[B:] - eps2[:B])
+            a_t = abar[t]
+            prev = t - ratio
+            a_prev = abar[prev] if prev >= 0 else torch.tensor(
+                pipe.schedule.final_alpha_cumprod)
+            x0 = (x - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+            x = a_prev.sqrt() * x0 + (1 - a_prev).sqrt() * eps
+        img = oracle.vae_decode(vae_sd, x / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 1e-3, f"max pixel delta {delta}"
