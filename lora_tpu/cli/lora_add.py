@@ -78,7 +78,8 @@ def add(
 
         print(f"Merging UNET/CLIP from {path_1} with LoRA from {path_2} to "
               f"{output_path}. Merging ratio : {alpha_1}.")
-        pipe = StableDiffusionPipeline.from_pretrained(path_1)
+        pipe = StableDiffusionPipeline.from_pretrained(
+            path_1, require_real_tokenizer=False)
         tok_dict = pipe.patch_pipe(path_2,
                                    patch_ti=(mode == "upl"))
         pipe.collapse_lora(alpha_1)

@@ -51,7 +51,54 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "dp")))
     return NamedSharding(mesh, P("dp"))
+
+
+def data_parallel_size(mesh: Optional[Mesh]) -> int:
+    """Number of data-parallel ways (dcn slices x in-slice dp)."""
+    if mesh is None:
+        return 1
+    dp = mesh.shape["dp"]
+    if "dcn" in mesh.axis_names:
+        dp *= mesh.shape["dcn"]
+    return dp
+
+
+def make_multislice_mesh(
+    dp: int = -1, fsdp: int = 1, tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice mesh: a leading `dcn` axis spans slices (data parallelism
+    over the slow inter-slice network — only the ~MB-sized LoRA/TI grad
+    all-reduce crosses it), while dp/fsdp/tp live inside each slice on ICI.
+    With one slice this degenerates to a dcn=1 mesh, so callers can use it
+    unconditionally. Slice topology comes from the devices' own
+    `slice_index` (jax.Device), the mechanism the scaling playbook
+    prescribes for DCN-aware layouts."""
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = sorted({getattr(d, "slice_index", 0) or 0 for d in devices})
+    n_slices = max(len(slice_ids), 1)
+    per_slice = len(devices) // n_slices
+    if per_slice * n_slices != len(devices):
+        raise ValueError(
+            f"uneven slices: {len(devices)} devices over {n_slices} slices")
+    if dp == -1:
+        dp = per_slice // (fsdp * tp)
+    if dp * fsdp * tp != per_slice:
+        raise ValueError(
+            f"in-slice mesh {dp}x{fsdp}x{tp} != {per_slice} devices/slice")
+    if n_slices == 1:
+        arr = np.array(devices).reshape(1, dp, fsdp, tp)
+    else:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp, fsdp, tp), (n_slices, 1, 1), devices,
+            allow_split_physical_axes=True,
+        ).reshape(n_slices, dp, fsdp, tp)
+    return Mesh(arr, ("dcn", "dp", "fsdp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -112,7 +159,7 @@ def replicate_tree(tree, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
-    dp = mesh.shape["dp"]
+    dp = data_parallel_size(mesh)
     for name, v in batch.items():
         if v.shape[0] % dp != 0:
             raise ValueError(
@@ -136,6 +183,11 @@ def mesh_from_flags(data_parallel: bool = False, fsdp: int = 1,
     if n % (fsdp * tp) != 0:
         raise ValueError(
             f"fsdp({fsdp}) x tp({tp}) must divide the device count ({n})")
+    slices = {getattr(d, "slice_index", 0) or 0 for d in jax.devices()}
+    if len(slices) > 1:  # multi-slice: dp over DCN, the rest inside slices
+        per = n // len(slices)
+        dp = per // (fsdp * tp) if data_parallel else 1
+        return make_multislice_mesh(dp=dp, fsdp=fsdp, tp=tp)
     dp = n // (fsdp * tp) if data_parallel else 1
     if dp * fsdp * tp != n:
         raise ValueError(

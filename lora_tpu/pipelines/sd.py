@@ -209,7 +209,12 @@ class StableDiffusionPipeline:
         )
 
     @classmethod
-    def from_pretrained(cls, path: str, dtype=jnp.float32, tokenizer=None):
+    def from_pretrained(cls, path: str, dtype=jnp.float32, tokenizer=None,
+                        require_real_tokenizer: bool = True):
+        """require_real_tokenizer: with pretrained weights a missing CLIP
+        vocab raises rather than silently degrading to hashed ids
+        (data/tokenizer.py). Weight-surgery tools (lora_add collapse/export)
+        pass False — they never tokenize."""
         from ..models.hf_import import (
             load_pipeline_params,
             load_scheduler_config,
@@ -219,7 +224,7 @@ class StableDiffusionPipeline:
         return cls(unet_params=unet_p, text_params=text_p, vae_params=vae_p,
                    tokenizer=tokenizer or default_tokenizer(
                        path, vocab_size=cfgs[1].vocab_size,
-                       require_real=True),
+                       require_real=require_real_tokenizer),
                    unet_cfg=cfgs[0], text_cfg=cfgs[1], vae_cfg=cfgs[2],
                    schedule=load_scheduler_config(path), dtype=dtype)
 

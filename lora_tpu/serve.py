@@ -5,13 +5,19 @@ Wraps a StableDiffusionPipeline behind an HTTP API (stdlib-only):
   POST /generate   {"prompt": str | [str], "steps": int, "guidance": float,
                     "height": int, "width": int, "seed": int,
                     "scheduler": str, "alpha": float, "lora_idx": [int]}
-                   -> {"images": [base64 PNG, ...], "latency_ms": float}
+                   -> {"images": [base64 PNG, ...], "latency_ms": float,
+                       "batched_with": int}
   GET  /healthz    -> {"ok": true, "devices": [...]}
 
-Requests are serialized through a lock (one compiled program, one device
-stream); the first request per shape pays the compile, later ones run at
-device speed. With a stacked multi-LoRA (core.lora.stack_loras) one server
-serves K adapters via per-request `lora_idx`.
+Concurrent requests with the same sampling config (steps/guidance/size/
+scheduler/alpha) are MICRO-BATCHED: a worker thread coalesces them (up to
+`max_batch`, within `batch_window_ms`) into one device batch — each request
+keeps its own prompt, seed-derived latents, and `lora_idx` adapter routing.
+Measured batch scaling (PERF.md): ~1.45x image throughput at bs 8 vs bs 1,
+so coalescing converts concurrency into throughput with no quality change.
+The first request per (config, batch-size) pays the XLA compile; later ones
+run at device speed. With a stacked multi-LoRA (core.lora.stack_loras) one
+server serves K adapters.
 """
 
 from __future__ import annotations
@@ -36,10 +42,38 @@ def _png_b64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class _Pending:
+    """One enqueued request awaiting its slot in a micro-batch."""
+
+    def __init__(self, req: dict):
+        self.req = req
+        self.done = threading.Event()
+        self.images = None
+        self.error: Optional[Exception] = None
+        self.batched_with = 1
+
+    def key(self):
+        r = self.req
+        return (int(r.get("steps", 30)), float(r.get("guidance", 7.5)),
+                int(r.get("height", 512)), int(r.get("width", 512)),
+                r.get("scheduler", "ddim"), r.get("alpha"),
+                r.get("negative_prompt", ""),
+                r.get("lora_idx") is not None)
+
+
 class PipelineServer:
-    def __init__(self, pipe, host: str = "127.0.0.1", port: int = 8500):
+    def __init__(self, pipe, host: str = "127.0.0.1", port: int = 8500,
+                 max_batch: int = 8, batch_window_ms: float = 25.0):
         self.pipe = pipe
         self.lock = threading.Lock()
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        import queue
+
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._spill: Optional[_Pending] = None
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
         server_self = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -81,26 +115,93 @@ class PipelineServer:
         self.thread: Optional[threading.Thread] = None
 
     def generate(self, req: dict) -> dict:
-        import jax
-
-        prompt = req.get("prompt", "")
         t0 = time.perf_counter()
+        pending = _Pending(req)
+        self._queue.put(pending)
+        pending.done.wait()
+        if pending.error is not None:
+            raise pending.error
+        return {"images": [_png_b64(im) for im in pending.images],
+                "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
+                "batched_with": pending.batched_with}
+
+    # -- micro-batching worker ----------------------------------------------
+    def _collect(self) -> list:
+        """Block for one request, then coalesce same-config arrivals within
+        the window (a config mismatch is spilled to seed the next batch)."""
+        import queue
+
+        first = self._spill or self._queue.get()
+        self._spill = None
+        group = [first]
+        deadline = time.monotonic() + self.batch_window
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt.key() == first.key():
+                group.append(nxt)
+            else:
+                self._spill = nxt
+                break
+        return group
+
+    def _drain(self):
+        while True:
+            group = self._collect()
+            try:
+                self._run_group(group)
+            except Exception as e:
+                for p in group:
+                    p.error = e
+            finally:
+                for p in group:
+                    p.batched_with = len(group)
+                    p.done.set()
+
+    def _run_group(self, group: list):
+        import jax
+        import jax.numpy as jnp
+
+        r0 = group[0].req
+        height, width = int(r0.get("height", 512)), int(r0.get("width", 512))
+        prompts, latents, counts = [], [], []
+        lora_idx: Optional[list] = []
+        for p in group:
+            pr = p.req.get("prompt", "")
+            pr = [pr] if isinstance(pr, str) else list(pr)
+            prompts += pr
+            counts.append(len(pr))
+            latents.append(self.pipe.prepare_latents(
+                len(pr), height, width,
+                jax.random.PRNGKey(int(p.req.get("seed", 0)))))
+            li = p.req.get("lora_idx")
+            if lora_idx is not None and li is not None:
+                lora_idx += [int(i) for i in (li if isinstance(li, list)
+                                              else [li] * len(pr))]
+            else:
+                lora_idx = None
         with self.lock:
-            if req.get("alpha") is not None:
-                self.pipe.tune_lora_scale(float(req["alpha"]))
+            if r0.get("alpha") is not None:
+                self.pipe.tune_lora_scale(float(r0["alpha"]))
             imgs = self.pipe(
-                prompt,
-                negative_prompt=req.get("negative_prompt", ""),
-                num_inference_steps=int(req.get("steps", 30)),
-                guidance_scale=float(req.get("guidance", 7.5)),
-                height=int(req.get("height", 512)),
-                width=int(req.get("width", 512)),
-                scheduler=req.get("scheduler", "ddim"),
-                rng=jax.random.PRNGKey(int(req.get("seed", 0))),
-                lora_idx=req.get("lora_idx"),
+                prompts,
+                negative_prompt=r0.get("negative_prompt", ""),
+                num_inference_steps=int(r0.get("steps", 30)),
+                guidance_scale=float(r0.get("guidance", 7.5)),
+                height=height, width=width,
+                scheduler=r0.get("scheduler", "ddim"),
+                latents=jnp.concatenate(latents, 0),
+                lora_idx=lora_idx,
             )
-        return {"images": [_png_b64(im) for im in imgs],
-                "latency_ms": round((time.perf_counter() - t0) * 1000, 1)}
+        off = 0
+        for p, n in zip(group, counts):
+            p.images = imgs[off:off + n]
+            off += n
 
     def start(self):
         self.thread = threading.Thread(target=self.httpd.serve_forever,
@@ -115,6 +216,9 @@ class PipelineServer:
 def main():
     import argparse
 
+    from .utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--lora", default=None)

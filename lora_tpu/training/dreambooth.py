@@ -115,7 +115,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
 
     mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
                                     cfg.tensor_parallel)
-    dp = mesh.shape["dp"] if mesh is not None else 1
+    dp = mesh_lib.data_parallel_size(mesh)
     # per-chip batch semantics: every chip sees train_batch_size examples
     global_batch = cfg.train_batch_size * dp
 

@@ -215,7 +215,7 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
 
     mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
                                     cfg.tensor_parallel)
-    dp = mesh.shape["dp"] if mesh is not None else 1
+    dp = mesh_lib.data_parallel_size(mesh)
     global_batch = cfg.train_batch_size * dp  # per-chip batch semantics
 
     ga = cfg.gradient_accumulation_steps

@@ -69,3 +69,38 @@ def test_generate_batch_and_errors(server):
     except urllib.error.HTTPError as e:
         missing = e.code == 404
     assert missing
+
+
+def test_micro_batching_coalesces_concurrent_requests(server):
+    """Concurrent same-config requests are served in ONE device batch, each
+    keeping its own seed; a config mismatch is never merged."""
+    import threading
+
+    results = {}
+
+    def fire(name, seed, steps=2):
+        out, status = _post(server, {"prompt": "a tiny tree", "steps": steps,
+                                     "height": 64, "width": 64, "seed": seed})
+        results[name] = (out, status)
+
+    # occupy the worker so the followers queue up together
+    lead = threading.Thread(target=fire, args=("lead", 0))
+    lead.start()
+    import time as _time
+
+    _time.sleep(0.3)
+    followers = [threading.Thread(target=fire, args=(f"f{i}", i + 1))
+                 for i in range(3)]
+    for t in followers:
+        t.start()
+    for t in [lead] + followers:
+        t.join()
+
+    assert all(status == 200 for _, status in results.values())
+    sizes = {k: out["batched_with"] for k, (out, _) in results.items()}
+    assert max(sizes.values()) >= 2, sizes  # followers coalesced
+    # different seeds -> different images inside the same batch
+    import base64 as b64
+
+    f_imgs = {k: results[k][0]["images"][0] for k in ("f0", "f1")}
+    assert f_imgs["f0"] != f_imgs["f1"]

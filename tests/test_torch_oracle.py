@@ -190,3 +190,118 @@ def test_full_txt2img_matches_torch_stack(exported):
 
     delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
     assert delta <= 1e-3, f"max pixel delta {delta}"
+
+
+def _torch_cfg_eps(unet_sd, x, t, ctx, guidance):
+    B = x.shape[0]
+    inp = torch.cat([x, x], 0)
+    tt = torch.full((2 * B,), float(t))
+    eps2 = oracle.unet_forward(unet_sd, inp, tt, ctx,
+                               heads=TINY_UNET.num_attention_heads,
+                               groups=TINY_UNET.norm_num_groups)
+    return eps2[:B] + guidance * (eps2[B:] - eps2[:B])
+
+
+def _hf_text_ctx(pipe, prompt):
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModel
+
+    hf_cfg = HFTextConfig(
+        vocab_size=TINY_TEXT.vocab_size, hidden_size=TINY_TEXT.hidden_size,
+        intermediate_size=TINY_TEXT.intermediate_size,
+        num_hidden_layers=TINY_TEXT.num_hidden_layers,
+        num_attention_heads=TINY_TEXT.num_attention_heads,
+        max_position_embeddings=TINY_TEXT.max_position_embeddings,
+        hidden_act="quick_gelu", attention_dropout=0.0)
+    model = CLIPTextModel(hf_cfg).eval()
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                           for k, v in pipe.text_params.items()},
+                          strict=False)
+
+    def enc(texts):
+        ids = torch.tensor(pipe.tokenizer(texts)["input_ids"])
+        with torch.no_grad():
+            return model(ids).last_hidden_state
+
+    return torch.cat([enc([""]), enc([prompt])], 0)
+
+
+def test_euler_txt2img_matches_torch_stack(exported):
+    """Euler (k-diffusion sigma space) sampler cross-checked end-to-end:
+    independent torch loop (scale input by 1/sqrt(s^2+1), d=(x-denoised)/s,
+    x += d*(s_next - s)) vs pipe(scheduler='euler')."""
+    pipe, unet_sd, vae_sd = exported
+    steps, guidance = 3, 7.5
+    rng = jax.random.PRNGKey(21)
+    lat0 = pipe.prepare_latents(1, 64, 64, rng)
+    ours = pipe("a tiny town", num_inference_steps=steps,
+                guidance_scale=guidance, height=64, width=64,
+                latents=lat0, scheduler="euler")
+
+    abar = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
+    sig_all = ((1 - abar) / abar) ** 0.5
+    ts_f = np.linspace(0, 999, steps)[::-1]
+    sig = np.append(np.interp(ts_f, np.arange(1000), sig_all), 0.0)
+    ts = ts_f.round().astype(np.int64)
+
+    ctx = _hf_text_ctx(pipe, "a tiny town")
+    x = torch.from_numpy(np.asarray(lat0).transpose(0, 3, 1, 2)).double()
+    x = x * sig[0]
+    with torch.no_grad():
+        for i, t in enumerate(ts):
+            s = sig[i]
+            scaled = (x / (s ** 2 + 1) ** 0.5).float()
+            eps = _torch_cfg_eps(unet_sd, scaled, t, ctx, guidance).double()
+            denoised = x - s * eps
+            x = x + (x - denoised) / s * (sig[i + 1] - s)
+        img = oracle.vae_decode(vae_sd, x.float() / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 2e-3, f"max pixel delta {delta}"
+
+
+def test_dpmpp_txt2img_matches_torch_stack(exported):
+    """DPM-Solver++(2M) cross-checked end-to-end: independent torch loop
+    from the paper's data-prediction multistep update vs
+    pipe(scheduler='dpm++')."""
+    pipe, unet_sd, vae_sd = exported
+    steps, guidance = 4, 7.5
+    rng = jax.random.PRNGKey(31)
+    lat0 = pipe.prepare_latents(1, 64, 64, rng)
+    ours = pipe("a tiny town", num_inference_steps=steps,
+                guidance_scale=guidance, height=64, width=64,
+                latents=lat0, scheduler="dpm++")
+
+    abar = torch.from_numpy(np.asarray(pipe.schedule.alphas_cumprod)).double()
+    final_abar = torch.tensor(pipe.schedule.final_alpha_cumprod).double()
+    ts = np.linspace(0, 999, steps + 1)[::-1][:-1].round().astype(np.int64)
+    ts_next = np.append(ts[1:], -1)
+
+    def asl(t):
+        a = abar[t] if t >= 0 else final_abar
+        alpha, sigma = a.sqrt(), (1 - a).sqrt()
+        return alpha, sigma, (alpha / sigma.clamp_min(1e-10)).log()
+
+    ctx = _hf_text_ctx(pipe, "a tiny town")
+    x = torch.from_numpy(np.asarray(lat0).transpose(0, 3, 1, 2)).double()
+    d_prev, lam_prev = None, None
+    with torch.no_grad():
+        for t, tn in zip(ts, ts_next):
+            eps = _torch_cfg_eps(unet_sd, x.float(), t, ctx, guidance).double()
+            a_s, s_s, lam_s = asl(int(t))
+            a_t, s_t, lam_t = asl(int(tn))
+            d = (x - s_s * eps) / a_s
+            h = lam_t - lam_s
+            if d_prev is not None:
+                r = (lam_s - lam_prev) / h
+                d_use = (1 + 1 / (2 * r)) * d - (1 / (2 * r)) * d_prev
+            else:
+                d_use = d
+            x = (s_t / s_s) * x - a_t * torch.expm1(-h) * d_use
+            d_prev, lam_prev = d, lam_s
+        img = oracle.vae_decode(vae_sd, x.float() / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 2e-3, f"max pixel delta {delta}"

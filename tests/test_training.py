@@ -279,3 +279,45 @@ def test_full_trainer_on_mesh_matches_single_device(tmp_path):
     assert np.isfinite(res["final_loss"])
     np.testing.assert_allclose(res["final_loss"], ref["final_loss"],
                                rtol=2e-4, atol=1e-6)
+
+
+def test_multislice_mesh_degenerate_and_dcn_step(base):
+    """Single-slice make_multislice_mesh degenerates to dcn=1; a train step
+    over an explicit (dcn, dp) mesh matches the flat dp mesh — validating
+    the P(("dcn","dp")) batch sharding multi-slice DP uses over DCN."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import numpy as _np
+
+    m1 = mesh_lib.make_multislice_mesh(dp=4, fsdp=2, tp=1)
+    assert m1.axis_names == ("dcn", "dp", "fsdp", "tp")
+    assert m1.shape["dcn"] == 1 and mesh_lib.data_parallel_size(m1) == 4
+
+    # emulate 2 slices by building the dcn mesh directly from CPU devices
+    from jax.sharding import Mesh
+
+    arr = _np.array(jax.devices()[:8]).reshape(2, 4, 1, 1)
+    m2 = Mesh(arr, ("dcn", "dp", "fsdp", "tp"))
+    assert mesh_lib.data_parallel_size(m2) == 8
+
+    trainable = make_trainable()
+    opt = make_optimizer(trainable, {"lora_unet": 1e-3, "lora_text": 1e-3},
+                         max_grad_norm=None)
+    batch = make_batch(bsz=8, seed=17)
+    rng = jax.random.PRNGKey(5)
+
+    def run(mesh):
+        step = make_train_step(unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+                               vae_cfg=TINY_VAE, sched=SCHED,
+                               loss_cfg=LossConfig(), optimizer=opt,
+                               mesh=mesh)
+        t, _, l = step(
+            mesh_lib.replicate_tree(
+                jax.tree_util.tree_map(jnp.copy, trainable), mesh),
+            mesh_lib.replicate_tree(opt.init(trainable), mesh),
+            base, mesh_lib.shard_batch(batch, mesh), rng)
+        return float(l)
+
+    l_flat = run(mesh_lib.make_mesh(dp=8))
+    l_dcn = run(m2)
+    np.testing.assert_allclose(l_flat, l_dcn, rtol=1e-4)
