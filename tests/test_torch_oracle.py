@@ -305,3 +305,113 @@ def test_dpmpp_txt2img_matches_torch_stack(exported):
     theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
     delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
     assert delta <= 2e-3, f"max pixel delta {delta}"
+
+
+def test_pndm_txt2img_matches_torch_stack(exported):
+    """PNDM/PLMS (SD-1.x's default sampler) cross-checked end-to-end: an
+    independent torch implementation of the pseudo linear multistep method
+    (warmup second-eps averaging, Adams-Bashforth up to 4 points, the
+    x-update from the PNDM paper) vs pipe(scheduler='pndm')."""
+    pipe, unet_sd, vae_sd = exported
+    steps, guidance = 4, 7.5
+    rng = jax.random.PRNGKey(41)
+    lat0 = pipe.prepare_latents(1, 64, 64, rng)
+    ours = pipe("a tiny town", num_inference_steps=steps,
+                guidance_scale=guidance, height=64, width=64,
+                latents=lat0, scheduler="pndm")
+
+    abar = torch.from_numpy(np.asarray(pipe.schedule.alphas_cumprod)).double()
+    final_abar = torch.tensor(pipe.schedule.final_alpha_cumprod).double()
+    T = pipe.schedule.num_train_timesteps
+    ratio = T // steps
+    base_ts = (np.arange(steps) * ratio).astype(np.int64) \
+        + pipe.schedule.steps_offset
+    # PLMS visits the second-highest step twice for warmup
+    plms_ts = np.concatenate([base_ts[:-1], base_ts[-2:-1],
+                              base_ts[-1:]])[::-1]
+
+    def prev_sample(x, t, tp, eps):
+        a_t = abar[t]
+        a_p = abar[tp] if tp >= 0 else final_abar
+        num = (a_p / a_t).sqrt() * x - (a_p - a_t) * eps / (
+            a_t * (1 - a_p).sqrt() + (a_t * (1 - a_t) * a_p).sqrt())
+        return num
+
+    ctx = _hf_text_ctx(pipe, "a tiny town")
+    x = torch.from_numpy(np.asarray(lat0).transpose(0, 3, 1, 2)).double()
+    ets, counter, cur_sample = [], 0, None
+    with torch.no_grad():
+        for t in plms_ts:
+            t = int(t)
+            eps = _torch_cfg_eps(unet_sd, x.float(), t, ctx, guidance).double()
+            t_use, tp = t, t - ratio
+            if counter != 1:
+                ets = ets[-3:] + [eps]
+            else:
+                t_use, tp = t + ratio, t
+            if len(ets) == 1 and counter == 0:
+                eps_use, cur_sample = ets[-1], x
+            elif len(ets) == 1 and counter == 1:
+                eps_use, x = (eps + ets[-1]) / 2, cur_sample
+            elif len(ets) == 2:
+                eps_use = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                eps_use = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            else:
+                eps_use = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                           - 9 * ets[-4]) / 24
+            x = prev_sample(x, t_use, tp, eps_use)
+            counter += 1
+        img = oracle.vae_decode(vae_sd, x.float() / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 2e-3, f"max pixel delta {delta}"
+
+
+def test_img2img_matches_torch_stack(exported):
+    """img2img cross-check: encode+noise the init image once (via the
+    oracle-verified VAE encode), then our partial-schedule DDIM loop must
+    match the independent torch loop from the same noisy latent."""
+    from lora_tpu.models import schedulers as sch
+    from lora_tpu.models.vae import vae_encode
+
+    pipe, unet_sd, vae_sd = exported
+    steps, strength, guidance = 4, 0.5, 7.5
+    rng = jax.random.PRNGKey(51)
+    rs = np.random.RandomState(3)
+    init = jnp.asarray(rs.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    ours = pipe.img2img("a tiny town", init, strength=strength,
+                        num_inference_steps=steps, guidance_scale=guidance,
+                        rng=rng)
+
+    # reproduce the noisy starting latent with the same keys/noise
+    k_enc, k_noise = jax.random.split(rng)
+    z = vae_encode(pipe.vae_params, init, TINY_VAE, k_enc)
+    ts_all = sch.ddim_timesteps(pipe.schedule, steps)
+    t_start = max(steps - int(steps * strength), 0)
+    ts = ts_all[t_start:]
+    noise = jax.random.normal(k_noise, z.shape, z.dtype)
+    z_noisy = sch.add_noise(pipe.schedule, z, noise,
+                            jnp.full((1,), int(ts[0]), jnp.int32))
+
+    abar = torch.from_numpy(np.asarray(pipe.schedule.alphas_cumprod)).double()
+    ratio = pipe.schedule.num_train_timesteps // steps
+    ctx = _hf_text_ctx(pipe, "a tiny town")
+    x = torch.from_numpy(np.asarray(z_noisy).transpose(0, 3, 1, 2)).double()
+    with torch.no_grad():
+        for t in ts:
+            t = int(t)
+            eps = _torch_cfg_eps(unet_sd, x.float(), t, ctx, guidance).double()
+            a_t = abar[t]
+            prev = t - ratio
+            a_p = abar[prev] if prev >= 0 else torch.tensor(
+                pipe.schedule.final_alpha_cumprod)
+            x0 = (x - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+            x = a_p.sqrt() * x0 + (1 - a_p).sqrt() * eps
+        img = oracle.vae_decode(vae_sd, x.float() / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 2e-3, f"max pixel delta {delta}"
