@@ -228,10 +228,11 @@ def inspect_lora(lora: LoraTree) -> Dict[str, List[float]]:
 
 def stack_loras(loras: Sequence[LoraTree]) -> LoraTree:
     """Stack K same-shape LoRAs into one batched tree for per-sample routed
-    serving: up (K, out, r), down (K, r, in), scale (K,). At apply time the
-    tree carries "idx" (B,) selecting a LoRA per batch element — K adapters
-    served in ONE jitted program (one gather + two einsums per site; no
-    per-request recompilation). Linear sites only (the default target set)."""
+    serving: up (K, out, r[, 1, 1]), down (K, r, in[, kh, kw]), scale (K,).
+    At apply time the tree carries "idx" (B,) selecting a LoRA per batch
+    element — K adapters served in ONE jitted program (linear sites: one
+    gather + two einsums; conv sites: one grouped conv + an einsum; no
+    per-request recompilation)."""
     names = set(loras[0]["sites"])
     for l in loras[1:]:
         if set(l["sites"]) != names:
@@ -239,9 +240,6 @@ def stack_loras(loras: Sequence[LoraTree]) -> LoraTree:
     sites = {}
     for name in names:
         entries = [l["sites"][name] for l in loras]
-        if entries[0]["up"].ndim != 2:
-            raise ValueError(f"batched serving supports linear sites only "
-                             f"({name} is conv)")
         shapes = {(tuple(e["up"].shape), tuple(e["down"].shape))
                   for e in entries}
         if len(shapes) > 1:
@@ -303,12 +301,44 @@ def lora_delta_dense(x: jax.Array, entry: dict, scale: jax.Array,
 def lora_delta_conv(x: jax.Array, entry: dict, scale: jax.Array,
                     stride: Tuple[int, int], padding: Tuple[int, int],
                     dropout_rng: Optional[jax.Array] = None,
-                    dropout_p: float = 0.0) -> jax.Array:
+                    dropout_p: float = 0.0,
+                    idx: Optional[jax.Array] = None) -> jax.Array:
     """Conv LoRA bypass: down conv (original geometry) then 1x1 up conv
-    (lora.py:105-135). x: NHWC; kernels stored OIHW."""
+    (lora.py:105-135). x: NHWC; kernels stored OIHW.
+
+    Batched serving: when entry holds stacked adapters (down
+    (K, r, in, kh, kw)) and `idx` (B,) is given, each batch element routes
+    through its own adapter's kernels — the per-sample down convs run as ONE
+    grouped convolution (batch folded into feature groups), then a per-
+    sample 1x1 up einsum."""
     dt = x.dtype
-    down = entry["down"].astype(dt)
-    up = entry["up"].astype(dt)
+    down = entry["down"]
+    up = entry["up"]
+    if up.ndim == 5:
+        if idx is None:
+            raise ValueError("stacked conv LoRA needs with_lora_idx(...)")
+        B, H, W, C = x.shape
+        dsel = down[idx].astype(dt)          # (B, r, C, kh, kw)
+        usel = up[idx].astype(dt)            # (B, out, r, 1, 1)
+        r = dsel.shape[1]
+        # fold batch into feature groups: input (1, H, W, B*C), kernel
+        # (B*r, C, kh, kw), groups=B -> output (1, H', W', B*r)
+        xg = x.transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
+        kg = dsel.reshape(B * r, C, *dsel.shape[3:])
+        dn = jax.lax.conv_general_dilated(
+            xg, kg, window_strides=stride,
+            padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+            feature_group_count=B,
+        )
+        Hp, Wp = dn.shape[1], dn.shape[2]
+        dn = dn.reshape(Hp, Wp, B, r).transpose(2, 0, 1, 3)  # (B, H', W', r)
+        dn = _maybe_diag(dn, entry)
+        d = jnp.einsum("bhwr,bor->bhwo", dn, usel[..., 0, 0])
+        s = scale[idx].astype(dt)
+        return d * s[:, None, None, None]
+    down = down.astype(dt)
+    up = up.astype(dt)
     dn = jax.lax.conv_general_dilated(
         x, down, window_strides=stride,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],

@@ -100,7 +100,8 @@ def conv2d(
     entry = _lora_entry(lora, name)
     if entry is not None:
         rng, drop = _lora_rng(lora, name)
-        y = y + lora_delta_conv(x, entry, lora["scale"], stride, padding, rng, drop)
+        y = y + lora_delta_conv(x, entry, lora["scale"], stride, padding,
+                                rng, drop, idx=lora.get("idx"))
     return y
 
 

@@ -35,8 +35,11 @@ def _interpret() -> bool:
 def _kernel(x_ref, w_ref, s_ref, o_ref):
     x = x_ref[...].astype(jnp.bfloat16)          # (BM, K)
     w = w_ref[...].astype(jnp.bfloat16)          # (BN, K) int8 -> bf16 in VMEM
+    # precision pinned: a global jax_default_matmul_precision="highest"
+    # (multi-pass bf16 emulation) is not lowerable by Mosaic here
     acc = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
     o_ref[...] = (acc * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 

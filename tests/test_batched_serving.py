@@ -58,10 +58,12 @@ def test_routed_delta_respects_per_lora_scale():
 def test_stack_validation():
     with pytest.raises(ValueError):
         stack_loras([rand_lora(0, r=2), rand_lora(1, r=3)])  # rank mismatch
+    # conv sites stack too (routed via the grouped-conv path)
     conv_sites = [Site("c.conv1", "conv", 8, 8, kernel=(3, 3))]
-    with pytest.raises(ValueError):
-        stack_loras([init_lora(conv_sites, r=2, rng=jax.random.PRNGKey(0)),
-                     init_lora(conv_sites, r=2, rng=jax.random.PRNGKey(1))])
+    stacked = stack_loras(
+        [init_lora(conv_sites, r=2, rng=jax.random.PRNGKey(0)),
+         init_lora(conv_sites, r=2, rng=jax.random.PRNGKey(1))])
+    assert stacked["sites"]["c.conv1"]["down"].shape == (2, 2, 8, 3, 3)
 
 
 def test_pipeline_batched_serving_matches_individual():
@@ -90,4 +92,70 @@ def test_pipeline_batched_serving_matches_individual():
     np.testing.assert_allclose(out[0], ref[0][0], rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(out[1], ref[1][0], rtol=2e-2, atol=2e-3)
     # and the two samples genuinely differ (different adapters)
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+
+
+def test_routed_conv_delta_matches_individual():
+    """Per-sample routed CONV LoRA (grouped-conv trick) == applying each
+    adapter separately — extended-target adapters (resnet convs) are now
+    batch-servable."""
+    from lora_tpu.core.lora import lora_delta_conv
+
+    conv_sites = [Site("res.conv1", "conv", 8, 12, kernel=(3, 3),
+                       stride=(1, 1), padding=(1, 1))]
+    loras = [rand_lora(s, sites=conv_sites) for s in (10, 11, 12)]
+    stacked = stack_loras(loras)
+    x = jax.random.normal(jax.random.PRNGKey(13), (4, 6, 6, 8))
+    idx = jnp.array([1, 2, 0, 1])
+    d = lora_delta_conv(x, stacked["sites"]["res.conv1"], stacked["scale"],
+                        stride=(1, 1), padding=(1, 1), idx=idx)
+    assert d.shape == (4, 6, 6, 12)
+    for b, l in zip(range(4), (loras[1], loras[2], loras[0], loras[1])):
+        ref = lora_delta_conv(x[b:b + 1], l["sites"]["res.conv1"], l["scale"],
+                              stride=(1, 1), padding=(1, 1))
+        np.testing.assert_allclose(np.asarray(d[b:b + 1]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_routed_conv_delta_strided():
+    from lora_tpu.core.lora import lora_delta_conv
+
+    conv_sites = [Site("down.conv", "conv", 8, 8, kernel=(3, 3),
+                       stride=(2, 2), padding=(1, 1))]
+    loras = [rand_lora(s, sites=conv_sites) for s in (20, 21)]
+    stacked = stack_loras(loras)
+    x = jax.random.normal(jax.random.PRNGKey(23), (2, 8, 8, 8))
+    d = lora_delta_conv(x, stacked["sites"]["down.conv"], stacked["scale"],
+                        stride=(2, 2), padding=(1, 1), idx=jnp.array([1, 0]))
+    assert d.shape == (2, 4, 4, 8)
+    for b, l in zip(range(2), (loras[1], loras[0])):
+        ref = lora_delta_conv(x[b:b + 1], l["sites"]["down.conv"], l["scale"],
+                              stride=(2, 2), padding=(1, 1))
+        np.testing.assert_allclose(np.asarray(d[b:b + 1]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_batched_serving_extended_adapters():
+    """Extended-target adapters (incl. resnet CONV sites) routed per sample
+    through the full pipeline."""
+    from lora_tpu.formats.safetensors_io import UNET_EXTENDED_TARGET_REPLACE
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    usites = unet_lora_sites(TINY_UNET, UNET_EXTENDED_TARGET_REPLACE)
+    la, lb = rand_lora(30, sites=usites), rand_lora(31, sites=usites)
+    lat1 = pipe.prepare_latents(1, 64, 64, jax.random.PRNGKey(6))
+    lat = jnp.concatenate([lat1, lat1])
+
+    batched = dataclasses.replace(pipe)
+    batched.lora_unet = stack_loras([la, lb])
+    out = batched(["p", "p"], num_inference_steps=2, height=64, width=64,
+                  latents=lat, lora_idx=[0, 1])
+
+    single = dataclasses.replace(pipe)
+    single.lora_unet = lb
+    ref = single("p", num_inference_steps=2, height=64, width=64,
+                 latents=lat1)
+    np.testing.assert_allclose(out[1], ref[0], rtol=2e-2, atol=2e-3)
     assert np.abs(out[0] - out[1]).max() > 1e-4
