@@ -415,3 +415,152 @@ def test_img2img_matches_torch_stack(exported):
     theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
     delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
     assert delta <= 2e-3, f"max pixel delta {delta}"
+
+
+def test_ti_conditioning_matches_hf(exported):
+    """apply_ti (tokenizer extension + embedding-table row write) produces
+    the same conditioning as transformers with a resized embedding table."""
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModel
+
+    pipe, _, _ = exported
+    import dataclasses as _dc
+
+    p = _dc.replace(pipe)
+    p.tokenizer = type(pipe.tokenizer)(vocab_size=TINY_TEXT.vocab_size)
+    vec = np.random.RandomState(7).randn(TINY_TEXT.hidden_size).astype(
+        np.float32) * 0.02
+    applied = p.apply_ti({"<tok>": vec})
+    assert applied == ["<tok>"]
+
+    table = np.asarray(
+        p.text_params["text_model.embeddings.token_embedding.weight"])
+    hf_cfg = HFTextConfig(
+        vocab_size=table.shape[0], hidden_size=TINY_TEXT.hidden_size,
+        intermediate_size=TINY_TEXT.intermediate_size,
+        num_hidden_layers=TINY_TEXT.num_hidden_layers,
+        num_attention_heads=TINY_TEXT.num_attention_heads,
+        max_position_embeddings=TINY_TEXT.max_position_embeddings,
+        hidden_act="quick_gelu", attention_dropout=0.0)
+    model = CLIPTextModel(hf_cfg).eval()
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                           for k, v in p.text_params.items()}, strict=False)
+
+    ids = np.asarray(p.tokenizer(["a <tok> photo"])["input_ids"], np.int64)
+    assert p.tokenizer.convert_tokens_to_ids("<tok>") in set(ids[0])
+    ours = np.asarray(p.encode_prompt("a <tok> photo"))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_inpaint_matches_torch_stack(tmp_path_factory):
+    """9-channel inpainting sampling cross-check: our inpaint() vs the
+    independent torch DDIM loop feeding [noisy | mask | masked-latents]
+    into the oracle UNet, from the same encoded conditioning."""
+    import dataclasses as _dc
+
+    from lora_tpu.models.unet import init_unet
+    from lora_tpu.models.vae import vae_encode
+
+    inpaint_cfg = _dc.replace(TINY_UNET, in_channels=9)
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(7), unet_cfg=inpaint_cfg, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    path = str(tmp_path_factory.mktemp("ckpt") / "inpaint.ckpt")
+    convert_to_ckpt(pipe, path, as_half=False)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+
+    steps, guidance = 3, 7.5
+    rng = jax.random.PRNGKey(61)
+    rs = np.random.RandomState(5)
+    image = jnp.asarray(rs.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    mask = jnp.asarray((rs.rand(1, 64, 64, 1) > 0.6).astype(np.float32))
+
+    ours = pipe.inpaint("a tiny town", image, mask,
+                        num_inference_steps=steps, guidance_scale=guidance,
+                        rng=rng)
+
+    # rebuild the conditioning channels with the same keys
+    k_enc, k_lat = jax.random.split(rng)
+    masked = image * (mask < 0.5)
+    mlat = vae_encode(pipe.vae_params, masked, TINY_VAE, k_enc)
+    h, w = mlat.shape[1:3]
+    ys = (np.arange(h) * (64 / h)).astype(np.int64)
+    xs = (np.arange(w) * (64 / w)).astype(np.int64)
+    mask_small = np.asarray(mask)[:, ys][:, :, xs]
+    lat0 = jax.random.normal(k_lat, (1, h, w, inpaint_cfg.out_channels))
+
+    extra = np.concatenate([mask_small, np.asarray(mlat)], axis=-1)
+    extra_t = torch.from_numpy(extra.transpose(0, 3, 1, 2)).double()
+
+    abar = torch.from_numpy(np.asarray(pipe.schedule.alphas_cumprod)).double()
+    ratio = pipe.schedule.num_train_timesteps // steps
+    ts = (np.arange(steps) * ratio).round()[::-1].astype(np.int64) \
+        + pipe.schedule.steps_offset
+    ctx = _hf_text_ctx(pipe, "a tiny town")
+    x = torch.from_numpy(np.asarray(lat0).transpose(0, 3, 1, 2)).double()
+    with torch.no_grad():
+        for t in ts:
+            t = int(t)
+            inp = torch.cat([x, extra_t], dim=1).float()
+            eps = _torch_cfg_eps(unet_sd, inp, t, ctx, guidance).double()
+            a_t = abar[t]
+            prev = t - ratio
+            a_p = abar[prev] if prev >= 0 else torch.tensor(
+                pipe.schedule.final_alpha_cumprod)
+            x0 = (x - (1 - a_t).sqrt() * eps) / a_t.sqrt()
+            x = a_p.sqrt() * x0 + (1 - a_p).sqrt() * eps
+        img = oracle.vae_decode(vae_sd, x.float() / TINY_VAE.scaling_factor,
+                                groups=TINY_VAE.norm_num_groups)
+    theirs = np.clip(img.numpy().transpose(0, 2, 3, 1) / 2 + 0.5, 0, 1)
+    delta = np.abs(np.asarray(ours, np.float32) - theirs).max()
+    assert delta <= 2e-3, f"max pixel delta {delta}"
+
+
+def test_lora_forward_matches_oracle_on_collapsed_weights(exported,
+                                                          tmp_path):
+    """The runtime LoRA bypass (scale * up(down(x)) on linear AND conv
+    sites) equals the independent torch oracle running on weights with the
+    SAME LoRA collapsed in (W += up@down) — cross-implementation proof of
+    the delta math, not just internal consistency."""
+    import dataclasses as _dc
+
+    from lora_tpu.core.lora import collapse_lora, init_lora
+    from lora_tpu.formats.safetensors_io import UNET_EXTENDED_TARGET_REPLACE
+
+    pipe, _, _ = exported
+    sites = pipe.unet_sites(UNET_EXTENDED_TARGET_REPLACE)
+    lora = init_lora(sites, r=2, rng=jax.random.PRNGKey(77))
+    ks = jax.random.split(jax.random.PRNGKey(78), len(lora["sites"]))
+    for (n, e), k in zip(sorted(lora["sites"].items()), ks):
+        e["up"] = jax.random.normal(k, e["up"].shape) * 0.05
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 16, 16, TINY_UNET.in_channels).astype(np.float32)
+    t = np.array([100.0, 700.0], np.float32)
+    ctx = rng.randn(2, 5, TINY_UNET.cross_attention_dim).astype(np.float32)
+    ours = unet_forward(pipe.unet_params, jnp.asarray(x), jnp.asarray(t),
+                        jnp.asarray(ctx), TINY_UNET, lora=lora)
+
+    collapsed = _dc.replace(pipe)
+    collapsed.unet_params = collapse_lora(pipe.unet_params, lora)
+    path = str(tmp_path / "collapsed.ckpt")
+    convert_to_ckpt(collapsed, path, as_half=False)
+    sd = torch.load(path, map_location="cpu",
+                    weights_only=False)["state_dict"]
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    with torch.no_grad():
+        ref = oracle.unet_forward(
+            unet_sd, torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t), torch.from_numpy(ctx),
+            heads=TINY_UNET.num_attention_heads,
+            groups=TINY_UNET.norm_num_groups)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+        atol=5e-4, rtol=5e-4)
