@@ -6,6 +6,16 @@ backward. Backward: the standard two-kernel flash scheme — one grid over
 q-blocks producing dQ, one over kv-blocks producing dK/dV, each recomputing
 P = exp(S - L) blockwise so nothing (T, T)-shaped ever exists in HBM.
 
+Layout/precision decisions (all measured on v5e, see PERF.md):
+- Blocks keep the true head dim D (40/80/160 in the SD UNet); Mosaic pads
+  the VMEM tiles internally, so no padded copies of q/k/v ever hit HBM.
+- Dots run in the input dtype (bf16 in training — native single-pass MXU)
+  and accumulate in f32 via preferred_element_type; f32 inputs keep
+  HIGHEST so f32 references/tests stay exact.
+- `scale` is folded into q once outside the kernels (and peeled back off
+  dQ in the VJP wrapper), removing a (BQ, BK)-sized multiply per block
+  from every kernel.
+
 Used for the UNet's spatial self-attention (T up to 4096 at 512px);
 ops/attention.py routes eligible shapes here and everything else to XLA.
 """
@@ -22,6 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 256   # q rows per program
 NEG_INF = -1e30
 
+# VMEM caps for the f32 score/prob tiles (see _kv_chunk). At SD sizes these
+# make the fwd kernel single-pass (full-row softmax) and the bwd kernels
+# 2-4 large dots per block instead of 8-16 small ones.
+FWD_KV_CAP = 4096
+DQ_KV_CAP = 2048
+DKV_Q_CAP = 1024
+
+
+def _prec(dt):
+    """Per-dtype dot precision: bf16 inputs run native single-pass MXU
+    (DEFAULT — also the only mode Mosaic lowers reliably); f32 inputs keep
+    true-f32 contractions (HIGHEST) so f32 references/tests stay exact.
+    All dots accumulate in f32 via preferred_element_type regardless."""
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
 
 def _pick_bk(s: int) -> int:
     for bk in (512, 256, 128):
@@ -30,32 +56,55 @@ def _pick_bk(s: int) -> int:
     return 0
 
 
+def _kv_chunk(s: int, cap: int) -> int:
+    """Largest kv-chunk (multiple of the base block, capped so the f32
+    score/probability tiles stay comfortably inside VMEM). Bigger chunks =
+    fewer, larger dots = less online-softmax correction work and better
+    MXU/VPU overlap; at SD sizes (S <= 4096) the fwd kernel degenerates to
+    a single-pass row-resident softmax, which is faster than the blockwise
+    scheme — the flash structure is kept only for S beyond the VMEM cap."""
+    bk = _pick_bk(s)
+    c = bk
+    while c * 2 <= min(s, cap) and s % (c * 2) == 0:
+        c *= 2
+    return c
+
+
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _scale_q(q, scale):
+    """Fold the softmax scale into q (one rounding, same magnitude as the
+    bf16 dot's own input rounding)."""
+    return (q.astype(jnp.float32) * scale).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_len, bk):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, s_len, bk):
+    q = q_ref[0]  # (BQ, D), pre-scaled, input dtype: bf16 dots run native MXU
+    dt = q.dtype
+    prec = _prec(dt)
     D = q.shape[-1]
     n_kv = s_len // bk
 
     def body(j, carry):
         m, l, acc = carry
-        kj = k_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        vj = v_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        kj = k_ref[0, pl.ds(j * bk, bk), :]
+        vj = v_ref[0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(q, kj, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         mj = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - mj)
         corr = jnp.exp(m - mj)
         l = l * corr + p.sum(axis=-1, keepdims=True)
         acc = acc * corr + jax.lax.dot_general(
-            p, vj, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p.astype(dt), vj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
         return mj, l, acc
 
     m0 = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)
@@ -66,52 +115,43 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_len, bk):
     lse_ref[0] = m + jnp.log(l)
 
 
-def _pad_d(x, Dp):
-    D = x.shape[-1]
-    if D == Dp:
-        return x
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Dp - D)])
-
-
 def _fwd(q, k, v, scale):
     B, H, T, D = q.shape
     S = k.shape[2]
-    bk = _pick_bk(S)
-    Dp = max(128, ((D + 127) // 128) * 128)
-    qf = _pad_d(q, Dp).reshape(B * H, T, Dp)
-    kf = _pad_d(k, Dp).reshape(B * H, S, Dp)
-    vf = _pad_d(v, Dp).reshape(B * H, S, Dp)
+    bk = _kv_chunk(S, FWD_KV_CAP)
+    qf = _scale_q(q, scale).reshape(B * H, T, D)
+    kf = k.reshape(B * H, S, D)
+    vf = v.reshape(B * H, S, D)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, s_len=S, bk=bk),
+        functools.partial(_fwd_kernel, s_len=S, bk=bk),
         grid=(B * H, T // BQ),
         in_specs=[
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Dp), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BQ, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, T, Dp), q.dtype),
+            jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, T, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * T * S * Dp,
-            bytes_accessed=(B * H) * (2 * T * Dp + 2 * S * Dp) * 2,
+            flops=4 * B * H * T * S * D,
+            bytes_accessed=(B * H) * (2 * T * D + 2 * S * D) * 2,
             transcendentals=B * H * T * S,
         ),
         interpret=_interpret(),
     )(qf, kf, vf)
-    out = out.reshape(B, H, T, Dp)[..., :D]
-    return out, lse
+    return out.reshape(B, H, T, D), lse
 
 
 # ---------------------------------------------------------------------------
@@ -119,58 +159,72 @@ def _fwd(q, k, v, scale):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
-                   *, scale, s_len, bk):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+                   *, s_len, bk):
+    q = q_ref[0]  # pre-scaled; input dtype for the dots, f32 accumulation
+    do = do_ref[0]
+    dt = q.dtype
+    prec = _prec(dt)
     lse = lse_ref[0]  # (BQ, 1)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (BQ, 1)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (BQ, 1)
     D = q.shape[-1]
     n_kv = s_len // bk
 
     def body(j, dq):
-        kj = k_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        vj = v_ref[0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        kj = k_ref[0, pl.ds(j * bk, bk), :]
+        vj = v_ref[0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(q, kj, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, vj, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
         ds = p * (dp - delta)
         return dq + jax.lax.dot_general(
-            ds, kj, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            ds.astype(dt), kj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
+    # caller multiplies by `scale` (dL/dq = scale * ds @ k for pre-scaled q)
     dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((q.shape[0], D),
                                                     jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref,
-                    dk_ref, dv_ref, *, scale, t_len, bk):
-    k = k_ref[0].astype(jnp.float32)  # (bk, D)
-    v = v_ref[0].astype(jnp.float32)
+                    dk_ref, dv_ref, *, t_len, bq):
+    k = k_ref[0]  # (grid_bk, D), input dtype for the dots
+    v = v_ref[0]
+    dt = k.dtype
+    prec = _prec(dt)
     D = k.shape[-1]
-    n_q = t_len // BQ
+    n_q = t_len // bq
 
     def body(i, carry):
         dk, dv = carry
-        qi = q_ref[0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
-        doi = do_ref[0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
-        oi = o_ref[0, pl.ds(i * BQ, BQ), :].astype(jnp.float32)
-        lse_i = lse_ref[0, pl.ds(i * BQ, BQ), :]
-        delta_i = jnp.sum(doi * oi, axis=-1, keepdims=True)
+        qi = q_ref[0, pl.ds(i * bq, bq), :]  # pre-scaled
+        doi = do_ref[0, pl.ds(i * bq, bq), :]
+        oi = o_ref[0, pl.ds(i * bq, bq), :]
+        lse_i = lse_ref[0, pl.ds(i * bq, bq), :]
+        delta_i = jnp.sum(doi.astype(jnp.float32) * oi.astype(jnp.float32),
+                          axis=-1, keepdims=True)
         s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
         p = jnp.exp(s - lse_i)  # (BQ, bk)
-        dv = dv + jax.lax.dot_general(p, doi, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        dv = dv + jax.lax.dot_general(p.astype(dt), doi,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
         dp = jax.lax.dot_general(doi, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
         ds = p * (dp - delta_i)
-        dk = dk + jax.lax.dot_general(ds, qi, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32
-                                      ) * scale
+        # ds^T @ (scale*q) IS dk for pre-scaled q — no extra multiply needed
+        dk = dk + jax.lax.dot_general(ds.astype(dt), qi,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)
         return dk, dv
 
     dk0 = jnp.zeros((k.shape[0], D), jnp.float32)
@@ -184,69 +238,70 @@ def _bwd(scale, res, g):
     q, k, v, out, lse = res
     B, H, T, D = q.shape
     S = k.shape[2]
-    bk = _pick_bk(S)
-    Dp = max(128, ((D + 127) // 128) * 128)
-    qf = _pad_d(q, Dp).reshape(B * H, T, Dp)
-    kf = _pad_d(k, Dp).reshape(B * H, S, Dp)
-    vf = _pad_d(v, Dp).reshape(B * H, S, Dp)
-    dof = _pad_d(g, Dp).reshape(B * H, T, Dp)
-    of = _pad_d(out, Dp).reshape(B * H, T, Dp)
+    grid_bk = _pick_bk(S)            # kv rows per dkv program
+    dq_bk = _kv_chunk(S, DQ_KV_CAP)  # kv chunk inside the dq loop
+    dkv_bq = _kv_chunk(T, DKV_Q_CAP) if T % _pick_bk(T) == 0 else BQ
+    qf = _scale_q(q, scale).reshape(B * H, T, D)
+    kf = k.reshape(B * H, S, D)
+    vf = v.reshape(B * H, S, D)
+    dof = g.reshape(B * H, T, D)
+    of = out.reshape(B * H, T, D)
 
     full_T = lambda b, i: (b, 0, 0)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, s_len=S, bk=bk),
+        functools.partial(_bwd_dq_kernel, s_len=S, bk=dq_bk),
         grid=(B * H, T // BQ),
         in_specs=[
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Dp), full_T, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, Dp), full_T, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, S, D), full_T, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), full_T, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BQ, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, Dp), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, T, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
         interpret=_interpret(),
     )(qf, kf, vf, dof, of, lse)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, t_len=T, bk=bk),
-        grid=(B * H, S // bk),
+        functools.partial(_bwd_dkv_kernel, t_len=T, bq=dkv_bq),
+        grid=(B * H, S // grid_bk),
         in_specs=[
-            pl.BlockSpec((1, bk, Dp), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, Dp), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dp), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dp), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, Dp), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, bk, Dp), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, Dp), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * H, S, Dp), k.dtype),
-            jax.ShapeDtypeStruct((B * H, S, Dp), v.dtype),
+            jax.ShapeDtypeStruct((B * H, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, S, D), v.dtype),
         ),
         interpret=_interpret(),
     )(kf, vf, qf, dof, of, lse)
 
-    dq = dq.reshape(B, H, T, Dp)[..., :D]
-    dk = dk.reshape(B, H, S, Dp)[..., :D]
-    dv = dv.reshape(B, H, S, Dp)[..., :D]
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype).reshape(B, H, T, D)
+    dk = dk.reshape(B, H, S, D)
+    dv = dv.reshape(B, H, S, D)
     return dq, dk, dv
 
 
