@@ -111,8 +111,11 @@ def group_norm(p: Params, name: str, x: jax.Array, groups: int,
     dt = x.dtype
     B, H, W, C = x.shape
     xg = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    # one-pass stats: E[x] and E[x^2] share a single read of x (XLA fuses
+    # sibling reductions), vs mean-then-var which forces two passes
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    m2 = (xg * xg).mean(axis=(1, 2, 4), keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     out = xg.reshape(B, H, W, C)
     out = out * p[name + ".weight"].astype(jnp.float32)
@@ -124,7 +127,8 @@ def layer_norm(p: Params, name: str, x: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
-    var = xf.var(-1, keepdims=True)
+    m2 = (xf * xf).mean(-1, keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * p[name + ".weight"].astype(jnp.float32) + p[name + ".bias"].astype(
         jnp.float32
