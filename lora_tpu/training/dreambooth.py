@@ -53,7 +53,7 @@ class DreamBoothConfig:
     lr_warmup_steps: int = 0
     max_grad_norm: float = 1.0
     adam_weight_decay: float = 1e-2
-    use_8bit_adam: bool = False  # -> bf16 Adam moments (optax mu_dtype)
+    use_8bit_adam: bool = False  # -> blockwise-int8 Adam moments (optim.adamw_8bit)
     seed: int = 0
     color_jitter: bool = False
     h_flip: bool = False
@@ -215,7 +215,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                          weight_decay=cfg.adam_weight_decay,
                          max_grad_norm=cfg.max_grad_norm,
                          grad_accum=cfg.gradient_accumulation_steps,
-                         low_memory=cfg.use_8bit_adam)
+                         low_memory="int8" if cfg.use_8bit_adam else False)
 
     loss_cfg = LossConfig(
         cached_latents=cfg.cached_latents,

@@ -72,7 +72,8 @@ def test_dreambooth_cached_latents(pipe, image_dir, tmp_path):
     cfg = DreamBoothConfig(
         instance_data_dir=image_dir, output_dir=out,
         instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
-        max_train_steps=2, save_steps=0, cached_latents=True, seed=0)
+        max_train_steps=2, save_steps=0, cached_latents=True, seed=0,
+        use_8bit_adam=True)  # int8 Adam moments through the real trainer
     res = train_dreambooth(dataclasses.replace(pipe), cfg)
     assert res["steps"] == 2 and np.isfinite(res["final_loss"])
     assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
