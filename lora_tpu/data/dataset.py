@@ -472,46 +472,76 @@ def data_loader(dataset, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = True,
                 prior_preservation: bool = False,
                 process_index: int = 0,
-                process_count: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+                process_count: int = 1,
+                num_workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Endless batch iterator. With prior_preservation, instance and class
     halves are concatenated [instance | class] (the reference collate,
     train_lora_dreambooth.py:693-726). process_index/count shard the sample
     stream per host for multi-host training — the DistributedSampler
-    replacement (SURVEY §5)."""
-    rng = random.Random(seed)
-    n = len(dataset)
-    while True:
-        idxs = list(range(n))
-        if shuffle:
-            rng.shuffle(idxs)
-        if process_count > 1:
-            idxs = idxs[process_index::process_count] or idxs[:1]
-        while len(idxs) < batch_size:  # tiny datasets: sample with repeats
-            idxs = idxs + idxs
-        m = len(idxs)
-        for s in range(0, m - (batch_size - 1 if drop_last else 0), batch_size):
-            chunk = [dataset[i] for i in idxs[s : s + batch_size]]
-            if len(chunk) < batch_size and drop_last:
-                continue
-            batch: Dict[str, np.ndarray] = {}
-            pixel = np.stack([c["instance_images"] for c in chunk])
-            ids = [c["instance_prompt_ids"] for c in chunk]
+    replacement (SURVEY §5). num_workers > 0 decodes samples on a thread
+    pool with one batch of lookahead (the torch DataLoader-workers
+    equivalent, train_lora_dreambooth.py:725; the native imgops path
+    releases the GIL, so threads decode truly in parallel). Augmentation
+    RNG draws then interleave across threads — set num_workers=0 for
+    bit-deterministic augmentation order."""
+
+    def index_chunks():
+        rng = random.Random(seed)
+        n = len(dataset)
+        while True:
+            idxs = list(range(n))
+            if shuffle:
+                rng.shuffle(idxs)
+            if process_count > 1:
+                idxs = idxs[process_index::process_count] or idxs[:1]
+            while len(idxs) < batch_size:  # tiny datasets: repeat-sample
+                idxs = idxs + idxs
+            m = len(idxs)
+            for s in range(0, m - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+                ci = idxs[s : s + batch_size]
+                if len(ci) == batch_size or not drop_last:
+                    yield ci
+
+    def collate(chunk) -> Dict[str, np.ndarray]:
+        batch: Dict[str, np.ndarray] = {}
+        pixel = np.stack([c["instance_images"] for c in chunk])
+        ids = [c["instance_prompt_ids"] for c in chunk]
+        if prior_preservation:
+            pixel = np.concatenate(
+                [pixel, np.stack([c["class_images"] for c in chunk])])
+            ids = ids + [c["class_prompt_ids"] for c in chunk]
+        batch["pixel_values"] = pixel.astype(np.float32)
+        batch["input_ids"] = np.asarray(ids, np.int64)
+        if "mask" in chunk[0]:
+            batch["mask"] = np.stack(
+                [c["mask"] for c in chunk]).astype(np.float32)
             if prior_preservation:
-                pixel = np.concatenate(
-                    [pixel, np.stack([c["class_images"] for c in chunk])])
-                ids = ids + [c["class_prompt_ids"] for c in chunk]
-            batch["pixel_values"] = pixel.astype(np.float32)
-            batch["input_ids"] = np.asarray(ids, np.int64)
-            if "mask" in chunk[0]:
-                batch["mask"] = np.stack(
-                    [c["mask"] for c in chunk]).astype(np.float32)
-                if prior_preservation:
-                    batch["mask"] = np.concatenate(
-                        [batch["mask"], np.ones_like(batch["mask"])])
-            if "instance_masks" in chunk[0]:
-                batch["mask_values"] = np.stack(
-                    [c["instance_masks"] for c in chunk]).astype(np.float32)
-                batch["masked_image_values"] = np.stack(
-                    [c["instance_masked_images"] for c in chunk]
-                ).astype(np.float32)
-            yield batch
+                batch["mask"] = np.concatenate(
+                    [batch["mask"], np.ones_like(batch["mask"])])
+        if "instance_masks" in chunk[0]:
+            batch["mask_values"] = np.stack(
+                [c["instance_masks"] for c in chunk]).astype(np.float32)
+            batch["masked_image_values"] = np.stack(
+                [c["instance_masked_images"] for c in chunk]
+            ).astype(np.float32)
+        return batch
+
+    if num_workers <= 0:
+        for ci in index_chunks():
+            yield collate([dataset[i] for i in ci])
+        return
+
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=num_workers,
+                              thread_name_prefix="lora_tpu_decode")
+    pending: "collections.deque" = collections.deque()
+    try:
+        for ci in index_chunks():
+            pending.append([pool.submit(dataset.__getitem__, i) for i in ci])
+            if len(pending) >= 2:  # one batch of lookahead stays in flight
+                yield collate([f.result() for f in pending.popleft()])
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -54,6 +54,7 @@ class DreamBoothConfig:
     max_grad_norm: float = 1.0
     adam_weight_decay: float = 1e-2
     use_8bit_adam: bool = False  # -> blockwise-int8 Adam moments (optim.adamw_8bit)
+    dataloader_num_workers: int = 0  # thread-pool sample decode (0 = serial)
     seed: int = 0
     color_jitter: bool = False
     h_flip: bool = False
@@ -198,7 +199,8 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             data_loader(ds, local_batch, seed=cfg.seed,
                         prior_preservation=cfg.with_prior_preservation,
                         process_index=jax.process_index(),
-                        process_count=jax.process_count())),
+                        process_count=jax.process_count(),
+                        num_workers=cfg.dataloader_num_workers)),
             sharding=mesh_lib.batch_sharding(mesh) if mesh is not None
             else None)
 

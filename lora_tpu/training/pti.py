@@ -74,6 +74,7 @@ class PTIConfig:
     continue_inversion_lr: Optional[float] = None
     use_face_segmentation_condition: bool = False
     cached_latents: bool = True
+    dataloader_num_workers: int = 0  # thread-pool sample decode (0 = serial)
     use_mask_captioned_data: bool = False
     mask_temperature: float = 1.0
     scale_lr: bool = False
@@ -253,7 +254,8 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         loader = device_prefetch(
             prefetch(data_loader(dataset, local_batch, seed=cfg.seed,
                                  process_index=jax.process_index(),
-                                 process_count=jax.process_count())),
+                                 process_count=jax.process_count(),
+                                 num_workers=cfg.dataloader_num_workers)),
             sharding=mesh_lib.batch_sharding(mesh) if mesh is not None
             else None)
 

@@ -191,3 +191,18 @@ def test_device_prefetch_preserves_stream():
     # endless iterators stay lazy
     lazy = device_prefetch(({"x": np.zeros(1)} for _ in itertools.count()))
     next(lazy); next(lazy)
+
+
+def test_loader_worker_pool_matches_serial(tmp_path, tok):
+    """num_workers>0 (thread-pool decode with lookahead) yields the same
+    batches as the serial path for deterministic (no-augment) datasets."""
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    make_images(tmp_path, [f"{i}.jpg" for i in range(6)])
+    mk = lambda: DreamBoothDataset(str(tmp_path), "a sks", tok, size=64)
+    serial = data_loader(mk(), 2, seed=3, num_workers=0)
+    pooled = data_loader(mk(), 2, seed=3, num_workers=3)
+    for _ in range(7):  # crosses an epoch boundary (3 batches/epoch)
+        bs, bp = next(serial), next(pooled)
+        np.testing.assert_array_equal(bs["pixel_values"], bp["pixel_values"])
+        np.testing.assert_array_equal(bs["input_ids"], bp["input_ids"])
