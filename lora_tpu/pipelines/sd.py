@@ -364,15 +364,29 @@ class StableDiffusionPipeline:
         return_latents: bool = False,
         scheduler: str = "ddim",
         lora_idx: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
     ):
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        text_emb = self.encode_prompt(prompts)
         use_cfg = guidance_scale > 1.0
-        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
-                  else text_emb)
+        if prompt_embeds is not None:
+            # precomputed text conditioning (e.g. the serving endpoint's
+            # embedding cache); prompt strings are ignored
+            text_emb = jnp.asarray(prompt_embeds, self.dtype)
+            B = text_emb.shape[0]
+            if use_cfg and negative_prompt_embeds is None:
+                raise ValueError(
+                    "negative_prompt_embeds required with prompt_embeds "
+                    "when guidance_scale > 1")
+            uncond = (jnp.asarray(negative_prompt_embeds, self.dtype)
+                      if use_cfg else text_emb)
+        else:
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            B = len(prompts)
+            if isinstance(negative_prompt, str):
+                negative_prompt = [negative_prompt] * B
+            text_emb = self.encode_prompt(prompts)
+            uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                      else text_emb)
         if latents is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = self.prepare_latents(B, height, width, rng)

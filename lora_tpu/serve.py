@@ -63,11 +63,21 @@ class _Pending:
 
 class PipelineServer:
     def __init__(self, pipe, host: str = "127.0.0.1", port: int = 8500,
-                 max_batch: int = 8, batch_window_ms: float = 25.0):
+                 max_batch: int = 8, batch_window_ms: float = 25.0,
+                 embed_cache_size: int = 256):
         self.pipe = pipe
         self.lock = threading.Lock()
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        # LRU prompt -> text-embedding cache: repeated prompts (and the
+        # shared negative prompt) skip tokenize + CLIP forward entirely.
+        # Keyed by (text, alpha) — with a text-encoder LoRA patched, the
+        # embedding depends on the runtime scale.
+        import collections
+        self._embeds: "collections.OrderedDict" = collections.OrderedDict()
+        self._embed_cache_size = embed_cache_size
+        self.embed_cache_hits = 0
+        self.embed_cache_misses = 0
         import queue
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -163,6 +173,27 @@ class PipelineServer:
                     p.batched_with = len(group)
                     p.done.set()
 
+    def _cached_embeds(self, texts: list, alpha) -> "np.ndarray":
+        """Encode `texts`, serving repeats from the LRU cache (caller holds
+        the pipe lock and has already applied `alpha`)."""
+        import numpy as np
+
+        missing = [t for t in dict.fromkeys(texts)
+                   if (t, alpha) not in self._embeds]
+        if missing:
+            fresh = np.asarray(self.pipe.encode_prompt(missing), np.float32)
+            for t, e in zip(missing, fresh):
+                self._embeds[(t, alpha)] = e
+        self.embed_cache_misses += len(missing)
+        self.embed_cache_hits += len(texts) - len(missing)
+        rows = []
+        for t in texts:
+            self._embeds.move_to_end((t, alpha))
+            rows.append(self._embeds[(t, alpha)])
+        while len(self._embeds) > self._embed_cache_size:
+            self._embeds.popitem(last=False)
+        return np.stack(rows)
+
     def _run_group(self, group: list):
         import jax
         import jax.numpy as jnp
@@ -185,18 +216,26 @@ class PipelineServer:
                                               else [li] * len(pr))]
             else:
                 lora_idx = None
+        guidance = float(r0.get("guidance", 7.5))
+        negative = r0.get("negative_prompt", "")
         with self.lock:
-            if r0.get("alpha") is not None:
-                self.pipe.tune_lora_scale(float(r0["alpha"]))
+            alpha = r0.get("alpha")
+            if alpha is not None:
+                self.pipe.tune_lora_scale(float(alpha))
+                alpha = float(alpha)
+            emb = self._cached_embeds(prompts, alpha)
+            neg = (self._cached_embeds([negative] * len(prompts), alpha)
+                   if guidance > 1.0 else None)
             imgs = self.pipe(
-                prompts,
-                negative_prompt=r0.get("negative_prompt", ""),
+                None,
                 num_inference_steps=int(r0.get("steps", 30)),
-                guidance_scale=float(r0.get("guidance", 7.5)),
+                guidance_scale=guidance,
                 height=height, width=width,
                 scheduler=r0.get("scheduler", "ddim"),
                 latents=jnp.concatenate(latents, 0),
                 lora_idx=lora_idx,
+                prompt_embeds=emb,
+                negative_prompt_embeds=neg,
             )
         off = 0
         for p, n in zip(group, counts):

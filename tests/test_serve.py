@@ -104,3 +104,16 @@ def test_micro_batching_coalesces_concurrent_requests(server):
 
     f_imgs = {k: results[k][0]["images"][0] for k in ("f0", "f1")}
     assert f_imgs["f0"] != f_imgs["f1"]
+
+
+def test_embed_cache_hits_and_determinism(server):
+    """Repeated prompts are served from the embedding cache (no second
+    CLIP forward) and produce identical images."""
+    payload = {"prompt": "a cached prompt", "steps": 2,
+               "height": 64, "width": 64, "seed": 7}
+    out1, _ = _post(server, payload)
+    h0 = server.embed_cache_hits
+    out2, _ = _post(server, payload)
+    # second request: prompt AND negative prompt both hit the cache
+    assert server.embed_cache_hits >= h0 + 2
+    assert out1["images"] == out2["images"]
