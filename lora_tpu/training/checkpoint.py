@@ -62,3 +62,40 @@ def load_train_state(path: str, trainable_like: Any,
             jnp.asarray(f.get_tensor("__rng__")))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return state["trainable"], state["opt_state"], step, rng
+
+
+class PreemptionGuard:
+    """Graceful-preemption handling (SIGTERM — what TPU VM maintenance and
+    cluster schedulers deliver): installs a handler that only sets a flag;
+    the training loop polls `should_stop` once per step, checkpoints the
+    full train state, and returns cleanly. The reference has no preemption
+    story (SURVEY §5: no retry, no preemption handling).
+
+    Use as a context manager; installation is skipped (should_stop stays
+    False) when not in the main thread, where CPython forbids signal().
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = (signals if signals is not None
+                        else (_signal.SIGTERM,))
+        self.should_stop = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.should_stop = True
+
+    def __enter__(self):
+        try:
+            for s in self.signals:
+                self._prev[s] = self._signal.signal(s, self._handler)
+        except ValueError:  # not the main thread
+            self._prev = {}
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._prev.items():
+            self._signal.signal(s, h)
+        return False

@@ -278,11 +278,25 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             cfg.resume_state, trainable, opt_state)
         print(f"Resumed full train state at step {start_step}")
 
+    from .checkpoint import PreemptionGuard
+    from .checkpoint import save_train_state as _sts
+
     t_start = time.perf_counter()
     global_step = start_step
+    preempted = False
     micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
+    guard = PreemptionGuard().__enter__()
     for micro in range(start_step * cfg.gradient_accumulation_steps,
                        micro_steps):
+        if guard.should_stop:
+            # SIGTERM (TPU maintenance / scheduler preemption): checkpoint
+            # the FULL train state so --resume_state continues exactly here
+            _sts(os.path.join(cfg.output_dir, "train_state.safetensors"),
+                 trainable, opt_state, global_step, rng)
+            save(f"preempt_{global_step}")
+            preempted = True
+            print(f"Preempted at step {global_step}; train state saved")
+            break
         batch = next(loader)
         if cache_text:
             batch["encoder_hidden_states"] = embed_ids(batch.pop("input_ids"))
@@ -308,8 +322,6 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             if cfg.save_steps and global_step % cfg.save_steps == 0:
                 save(str(global_step))
                 if cfg.save_train_state:
-                    from .checkpoint import save_train_state as _sts
-
                     _sts(os.path.join(cfg.output_dir,
                                       "train_state.safetensors"),
                          trainable, opt_state, global_step, rng)
@@ -318,10 +330,12 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                           lora_core.inspect_lora(
                               trainable["lora_unet"]).items())[:4]}))
 
+    guard.__exit__()
     save("final", final=True)
     elapsed = time.perf_counter() - t_start
     result = {"steps": global_step, "seconds": elapsed,
-              "steps_per_sec": global_step / elapsed,
+              "steps_per_sec": global_step / max(elapsed, 1e-9),
+              "preempted": preempted,
               "final_loss": float(loss)}
     log.log(**result)
     return {**result, "trainable": trainable}

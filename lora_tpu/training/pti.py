@@ -295,10 +295,19 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
             trainable = mesh_lib.replicate_tree(trainable, mesh)
             opt_state = mesh_lib.replicate_tree(opt_state, mesh)
         nonlocal rng
+        from .checkpoint import PreemptionGuard
+
         t0 = time.perf_counter()
         global_step = 0
         loss = jnp.float32(0)
+        guard = PreemptionGuard().__enter__()
         for micro in range(steps * ga):
+            if guard.should_stop:
+                # SIGTERM: save the phase's adapters/embeds and stop cleanly
+                save_fn(trainable, global_step)
+                print(f"Preempted in {phase_name} at step {global_step}; "
+                      "artifacts saved")
+                break
             batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
             if mesh is not None:
                 batch = mesh_lib.shard_batch(batch, mesh)
@@ -324,6 +333,7 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                     save_fn(trainable, global_step)
             if global_step >= steps:
                 break
+        guard.__exit__()
         return trainable, float(loss)
 
     ti_embeds = ti_init
