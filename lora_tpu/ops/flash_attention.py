@@ -32,12 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 256   # q rows per program
 NEG_INF = -1e30
 
-# VMEM caps for the f32 score/prob tiles (see _kv_chunk). At SD sizes these
-# make the fwd kernel single-pass (full-row softmax) and the bwd kernels
-# 2-4 large dots per block instead of 8-16 small ones.
+# VMEM caps for the score/prob tiles (see _kv_chunk), sized for 2-byte
+# (bf16) inputs — _cap halves them for f32 inputs. At SD sizes these make
+# the fwd kernel single-pass (full-row softmax) and the bwd kernels 2-4
+# large dots per block instead of 8-16 small ones.
 FWD_KV_CAP = 4096
 DQ_KV_CAP = 2048
 DKV_Q_CAP = 1024
+
+
+def _cap(cap: int, dtype) -> int:
+    """Quarter the chunk cap for 4-byte inputs (both the input blocks and
+    the in-kernel cast copies grow) so the tiles stay inside the 16 MB
+    scoped-VMEM budget regardless of dtype."""
+    return cap // 4 if jnp.dtype(dtype).itemsize >= 4 else cap
 
 
 def _prec(dt):
@@ -118,7 +126,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, s_len, bk):
 def _fwd(q, k, v, scale):
     B, H, T, D = q.shape
     S = k.shape[2]
-    bk = _kv_chunk(S, FWD_KV_CAP)
+    bk = _kv_chunk(S, _cap(FWD_KV_CAP, q.dtype))
     qf = _scale_q(q, scale).reshape(B * H, T, D)
     kf = k.reshape(B * H, S, D)
     vf = v.reshape(B * H, S, D)
@@ -158,15 +166,14 @@ def _fwd(q, k, v, scale):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref,
                    *, s_len, bk):
     q = q_ref[0]  # pre-scaled; input dtype for the dots, f32 accumulation
     do = do_ref[0]
     dt = q.dtype
     prec = _prec(dt)
-    lse = lse_ref[0]  # (BQ, 1)
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=-1, keepdims=True)  # (BQ, 1)
+    lse = stats_ref[0][:, 0:1]    # (BQ, 1)
+    delta = stats_ref[0][:, 1:2]  # (BQ, 1) — sum(do*o) precomputed in XLA
     D = q.shape[-1]
     n_kv = s_len // bk
 
@@ -191,47 +198,52 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref,
-                    dk_ref, dv_ref, *, t_len, bq):
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, stats_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc):
+    """Streaming dK/dV: grid (B*H, S/bk, T/bq), q/do/stats arrive as
+    bq-blocks (the last grid dim iterates over them — Pallas pipelines the
+    DMAs), dk/dv accumulate in f32 VMEM scratch and are written once on
+    the final q-block. No full-T block ever sits in VMEM, so the kernel
+    fits the scoped budget in f32 as well as bf16."""
+    i = pl.program_id(2)
+    n_q = pl.num_programs(2)
     k = k_ref[0]  # (grid_bk, D), input dtype for the dots
     v = v_ref[0]
     dt = k.dtype
     prec = _prec(dt)
-    D = k.shape[-1]
-    n_q = t_len // bq
 
-    def body(i, carry):
-        dk, dv = carry
-        qi = q_ref[0, pl.ds(i * bq, bq), :]  # pre-scaled
-        doi = do_ref[0, pl.ds(i * bq, bq), :]
-        oi = o_ref[0, pl.ds(i * bq, bq), :]
-        lse_i = lse_ref[0, pl.ds(i * bq, bq), :]
-        delta_i = jnp.sum(doi.astype(jnp.float32) * oi.astype(jnp.float32),
-                          axis=-1, keepdims=True)
-        s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-        p = jnp.exp(s - lse_i)  # (BQ, bk)
-        dv = dv + jax.lax.dot_general(p.astype(dt), doi,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
-        dp = jax.lax.dot_general(doi, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)
-        ds = p * (dp - delta_i)
-        # ds^T @ (scale*q) IS dk for pre-scaled q — no extra multiply needed
-        dk = dk + jax.lax.dot_general(ds.astype(dt), qi,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)
-        return dk, dv
+    @pl.when(i == 0)
+    def _zero():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    dk0 = jnp.zeros((k.shape[0], D), jnp.float32)
-    dv0 = jnp.zeros((k.shape[0], D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_q, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    qi = q_ref[0]    # (bq, D), pre-scaled
+    doi = do_ref[0]  # (bq, D)
+    st = stats_ref[0]
+    lse_i = st[:, 0:1]
+    delta_i = st[:, 1:2]
+    s = jax.lax.dot_general(qi, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+    p = jnp.exp(s - lse_i)  # (bq, grid_bk)
+    dv_acc[...] += jax.lax.dot_general(p.astype(dt), doi,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+    dp = jax.lax.dot_general(doi, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    ds = p * (dp - delta_i)
+    # ds^T @ (scale*q) IS dk for pre-scaled q — no extra multiply needed
+    dk_acc[...] += jax.lax.dot_general(ds.astype(dt), qi,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+
+    @pl.when(i == n_q - 1)
+    def _write():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd(scale, res, g):
@@ -239,13 +251,20 @@ def _bwd(scale, res, g):
     B, H, T, D = q.shape
     S = k.shape[2]
     grid_bk = _pick_bk(S)            # kv rows per dkv program
-    dq_bk = _kv_chunk(S, DQ_KV_CAP)  # kv chunk inside the dq loop
-    dkv_bq = _kv_chunk(T, DKV_Q_CAP) if T % _pick_bk(T) == 0 else BQ
+    dq_bk = _kv_chunk(S, _cap(DQ_KV_CAP, q.dtype))  # dq-loop kv chunk
+    dkv_bq = (_kv_chunk(T, _cap(DKV_Q_CAP, q.dtype))
+              if T % _pick_bk(T) == 0 else BQ)
     qf = _scale_q(q, scale).reshape(B * H, T, D)
     kf = k.reshape(B * H, S, D)
     vf = v.reshape(B * H, S, D)
     dof = g.reshape(B * H, T, D)
-    of = out.reshape(B * H, T, D)
+    # delta = sum(do * o) per row, computed once in XLA (fused, one pass)
+    # and shipped together with lse as a single (B*H, T, 2) stats array —
+    # this keeps the full-T `o` block out of both backward kernels, which
+    # is what lets the f32 path fit in scoped VMEM
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True).reshape(B * H, T, 1)
+    stats = jnp.concatenate([lse, delta], axis=-1)  # (B*H, T, 2) f32
 
     full_T = lambda b, i: (b, 0, 0)
     dq = pl.pallas_call(
@@ -258,46 +277,46 @@ def _bwd(scale, res, g):
             pl.BlockSpec((1, S, D), full_T, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, BQ, 2), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, T, D), q.dtype),
         interpret=_interpret(),
-    )(qf, kf, vf, dof, of, lse)
+    )(qf, kf, vf, dof, stats)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, t_len=T, bq=dkv_bq),
-        grid=(B * H, S // grid_bk),
+        _bwd_dkv_kernel,
+        grid=(B * H, S // grid_bk, T // dkv_bq),
         in_specs=[
-            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, dkv_bq, D), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, dkv_bq, D), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, D), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 1), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, dkv_bq, 2), lambda b, j, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, grid_bk, D), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, grid_bk, D), lambda b, j, i: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, S, D), k.dtype),
             jax.ShapeDtypeStruct((B * H, S, D), v.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((grid_bk, D), jnp.float32),
+            pltpu.VMEM((grid_bk, D), jnp.float32),
+        ],
         interpret=_interpret(),
-    )(kf, vf, qf, dof, of, lse)
+    )(kf, vf, qf, dof, stats)
 
     dq = (dq.astype(jnp.float32) * scale).astype(q.dtype).reshape(B, H, T, D)
     dk = dk.reshape(B, H, S, D)

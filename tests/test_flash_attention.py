@@ -60,3 +60,20 @@ def test_flash_grads_match_xla():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                    atol=5e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="compiles the real kernels; TPU lane only")
+def test_flash_f32_full_size_fits_vmem():
+    """f32 q/k/v at the UNet's largest attention level (T=4096, D=40) must
+    compile and run — regression for the scoped-VMEM overflow the full-T
+    f32 blocks used to cause in the dK/dV kernel (fixed by the streaming
+    3D-grid + scratch-accumulator structure)."""
+    q, k, v = make_qkv(B=1, H=8, T=4096, S=4096, D=40, seed=9)
+    scale = 40 ** -0.5
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
