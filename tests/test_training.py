@@ -362,3 +362,33 @@ def test_adam_8bit_tracks_adamw():
     # and it descends like the reference does
     assert float(loss(w_q)) < float(loss(w0))
     assert abs(float(loss(w_q)) - float(loss(w_ref))) < 0.05
+
+
+def test_fused_optimizer_matches_per_leaf():
+    """The raveled-vector optimizer (make_optimizer(fused=True), the default)
+    must match the per-leaf optax.multi_transform structure exactly: Adam is
+    elementwise, so fusing the ~200 LoRA leaves into one flat vector per
+    group may only change summation order inside the global-norm clip."""
+    trainable = make_trainable(with_ti=True)
+    # synthetic grads with enough magnitude to engage the clip
+    gs = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(hash(p.shape) % 997),
+                                    p.shape) * 3.0, trainable)
+    lrs = {"lora_unet": 1e-3, "lora_text": 5e-4, "ti": 5e-4}
+
+    def run(fused):
+        opt = make_optimizer(trainable, lrs, max_grad_norm=1.0, fused=fused)
+        st = opt.init(trainable)
+        w = trainable
+        for i in range(3):
+            g = jax.tree_util.tree_map(lambda x: x * (1.0 + 0.5 * i), gs)
+            up, st = opt.update(g, st, w)
+            w = jax.tree_util.tree_map(lambda p, u: p + u, w, up)
+        return w
+
+    w_f = run(True)
+    w_p = run(False)
+    for a, b in zip(jax.tree_util.tree_leaves(w_f),
+                    jax.tree_util.tree_leaves(w_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
