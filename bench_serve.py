@@ -1,0 +1,111 @@
+"""Serving benchmark: end-to-end txt2img latency and multi-LoRA batched
+throughput on one chip (the production-serving counterpart of bench.py's
+training headline).
+
+Prints one JSON line:
+  {"metric": "serving", "single_latency_s": ..., "throughput": {bs: imgs/s},
+   "multi_lora_throughput": {bs: imgs/s}}
+
+Measures the real pipeline object (random weights — identical compute graph
+to trained SD-1.5 weights): 50-step CFG sampling, bf16, 512px, Pallas flash
+attention, with the multi-LoRA rows routing 4 stacked rank-4 adapters
+per-sample (`stack_loras` + `lora_idx` — the serve.py micro-batching path).
+Reference counterpart: plain diffusers `pipe(prompt)` after `patch_pipe`
+(lora.py:958-1022); the reference serves one adapter per process.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
+STEPS = 50
+REPS = 3
+
+
+def _build_pipe():
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    return StableDiffusionPipeline.random_init(
+        rng=jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+
+def _run(pipe, prompts, rng, lora_idx=None, output_type="device"):
+    # device output by default: through this environment's remote tunnel a
+    # host copy of a batch of images costs seconds and would measure the
+    # relay, not the chip (on a real TPU VM the PCIe copy is ~ms); the
+    # end-to-end rows measure output_type="np" separately
+    return pipe(prompts, num_inference_steps=STEPS, guidance_scale=7.5,
+                rng=rng, lora_idx=lora_idx, output_type=output_type)
+
+
+def main():
+    from lora_tpu.core.lora import init_lora, stack_loras
+
+    pipe = _build_pipe()
+    sites = pipe.unet_sites()
+
+    out = {"metric": "serving", "steps": STEPS, "resolution": 512}
+
+    # single-request latency (one adapter patched, the common serving case):
+    # device-complete, and end-to-end including the image download
+    pipe.lora_unet = init_lora(sites, r=4, rng=jax.random.PRNGKey(1))
+    _run(pipe, ["warmup"], jax.random.PRNGKey(9))  # compile
+    lat, lat_np = [], []
+    for i in range(REPS):
+        t0 = time.perf_counter()
+        _run(pipe, ["a photo of sks dog"], jax.random.PRNGKey(10 + i))
+        lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _run(pipe, ["a photo of sks dog"], jax.random.PRNGKey(10 + i),
+             output_type="np")
+        lat_np.append(time.perf_counter() - t0)
+    out["single_latency_s"] = round(min(lat), 3)
+    out["single_latency_with_host_copy_s"] = round(min(lat_np), 3)
+
+    # batched throughput, same adapter for all rows
+    thr = {}
+    for bs in (4, 8):
+        _run(pipe, ["w"] * bs, jax.random.PRNGKey(20))  # compile
+        best = 0.0
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            _run(pipe, ["a photo of sks dog"] * bs,
+                 jax.random.PRNGKey(30 + i))
+            best = max(best, bs / (time.perf_counter() - t0))
+        thr[str(bs)] = round(best, 2)
+    out["throughput_imgs_per_s"] = thr
+
+    # multi-LoRA: 4 distinct rank-4 adapters, rows routed per-sample
+    adapters = [init_lora(sites, r=4, rng=jax.random.PRNGKey(40 + i))
+                for i in range(4)]
+    pipe.lora_unet = stack_loras(adapters)
+    mthr = {}
+    for bs in (4, 8):
+        idx = jnp.arange(bs) % 4
+        _run(pipe, ["w"] * bs, jax.random.PRNGKey(50), lora_idx=idx)
+        best = 0.0
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            _run(pipe, ["a photo of sks dog"] * bs,
+                 jax.random.PRNGKey(60 + i), lora_idx=idx)
+            best = max(best, bs / (time.perf_counter() - t0))
+        mthr[str(bs)] = round(best, 2)
+    out["multi_lora_throughput_imgs_per_s"] = mthr
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

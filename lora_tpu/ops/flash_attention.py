@@ -33,7 +33,7 @@ BQ = 256   # q rows per program
 NEG_INF = -1e30
 
 # VMEM caps for the score/prob tiles (see _kv_chunk), sized for 2-byte
-# (bf16) inputs — _cap halves them for f32 inputs. At SD sizes these make
+# (bf16) inputs — _cap quarters them for f32 inputs. At SD sizes these make
 # the fwd kernel single-pass (full-row softmax) and the bwd kernels 2-4
 # large dots per block instead of 8-16 small ones.
 FWD_KV_CAP = 4096

@@ -366,6 +366,7 @@ class StableDiffusionPipeline:
         lora_idx: Optional[jax.Array] = None,
         prompt_embeds: Optional[jax.Array] = None,
         negative_prompt_embeds: Optional[jax.Array] = None,
+        output_type: str = "np",
     ):
         use_cfg = guidance_scale > 1.0
         if prompt_embeds is not None:
@@ -407,8 +408,13 @@ class StableDiffusionPipeline:
             lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
                                                                jnp.int32))
         images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
-        images = np.asarray(
-            jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0))
+        images = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        if output_type == "device":
+            # stay in HBM — serving paths that PNG-encode elsewhere (or
+            # chain into further device work) skip the host copy
+            images = jax.block_until_ready(images)
+        else:
+            images = np.asarray(images)
         if return_latents:
             return images, latents
         return images

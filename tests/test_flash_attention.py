@@ -77,3 +77,24 @@ def test_flash_f32_full_size_fits_vmem():
 
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="compiles the real kernels; TPU lane only")
+def test_flash_768px_level_grads():
+    """The 768px top attention level (96x96 latents -> T=S=9216, a
+    non-power-of-two multiple of BQ) must run fwd+bwd through the flash
+    kernels; smaller 768px levels (576, 144) are rejected by supported()
+    and take the XLA path, so together every resolution the trainers
+    accept compiles."""
+    assert supported((1, 8, 9216, 40), (1, 8, 9216, 40))
+    assert not supported((1, 8, 576, 40), (1, 8, 576, 40))
+    q, k, v = make_qkv(B=1, H=8, T=9216, S=9216, D=40, seed=3,
+                       dtype=jnp.bfloat16)
+    scale = 40 ** -0.5
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(x, dtype=np.float32)).all() for x in g)

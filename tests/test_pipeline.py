@@ -51,6 +51,19 @@ def test_txt2img_runs(pipe):
     assert np.isfinite(img).all()
 
 
+def test_txt2img_device_output(pipe):
+    """output_type='device' keeps images in device memory (serving paths
+    that encode/forward elsewhere skip the host copy) with identical
+    values."""
+    lat = pipe.prepare_latents(1, 64, 64, jax.random.PRNGKey(3))
+    dev = pipe("a dog", num_inference_steps=2, height=64, width=64,
+               latents=lat, output_type="device")
+    host = pipe("a dog", num_inference_steps=2, height=64, width=64,
+                latents=lat)
+    assert isinstance(dev, jax.Array) and isinstance(host, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
 def test_txt2img_deterministic_given_latents(pipe):
     lat = pipe.prepare_latents(1, 64, 64, jax.random.PRNGKey(7))
     a = pipe("a dog", num_inference_steps=2, height=64, width=64, latents=lat)
