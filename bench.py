@@ -89,16 +89,25 @@ def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
     jax.block_until_ready(loss)
 
     # best-of windows: the shared tunnel adds run-to-run interference;
-    # best-of measures the hardware, not the neighbors
+    # best-of measures the hardware, not the neighbors. Windows implying
+    # >60% MFU are relay hiccups (observed once: a window reporting 275%
+    # MFU, physically impossible — the step runs ~21%) and are discarded.
+    def plausible(s):
+        return flops is None or (s * flops / PEAK_BF16_FLOPS) < 0.60
+
     sps = 0.0
-    for w in range(windows):
+    for w in range(windows + 2):  # up to 2 retries replace discarded windows
+        if w >= windows and sps > 0.0:
+            break
         t0 = time.perf_counter()
         for i in range(n_steps):
             trainable, opt_state, loss = compiled(
                 trainable, opt_state, base, batch,
                 jax.random.fold_in(jax.random.PRNGKey(8), w * n_steps + i))
         jax.block_until_ready(loss)
-        sps = max(sps, n_steps / (time.perf_counter() - t0))
+        s = n_steps / (time.perf_counter() - t0)
+        if plausible(s):
+            sps = max(sps, s)
     mfu = round(100.0 * sps * flops / PEAK_BF16_FLOPS, 1) if flops else None
     return sps, mfu, flops
 
