@@ -343,9 +343,13 @@ class DreamBoothDataset:
         root = Path(instance_data_root)
         if not root.exists():
             raise ValueError("Instance images root doesn't exists.")
+        # exclude cached face-seg masks ({i}.mask.png, written next to the
+        # images by the PTI dataset) — they are 1-channel conditioning
+        # files, not instances
         self.instance_images_path = sorted(
             str(p) for p in root.iterdir()
-            if p.suffix.lower() in (".jpg", ".jpeg", ".png"))
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+            and not p.name.endswith(".mask.png"))
         self.num_instance_images = len(self.instance_images_path)
         self.instance_prompt = instance_prompt
         self._length = self.num_instance_images

@@ -206,3 +206,21 @@ def test_loader_worker_pool_matches_serial(tmp_path, tok):
         bs, bp = next(serial), next(pooled)
         np.testing.assert_array_equal(bs["pixel_values"], bp["pixel_values"])
         np.testing.assert_array_equal(bs["input_ids"], bp["input_ids"])
+
+
+def test_dreambooth_dataset_ignores_cached_masks(tmp_path, tok):
+    """A face-conditioned PTI run caches {i}.mask.png next to the instance
+    images; a later DreamBooth run on the same directory must not pick the
+    1-channel masks up as instances (regression: they reached the VAE and
+    failed its 3-channel stem conv)."""
+    from PIL import Image
+
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    make_images(tmp_path, ["0.jpg", "1.jpg"])
+    Image.new("L", (32, 32), 255).save(tmp_path / "0.mask.png")
+    Image.new("L", (32, 32), 255).save(tmp_path / "1.mask.png")
+    ds = DreamBoothDataset(str(tmp_path), "p", tok, size=64)
+    assert ds.num_instance_images == 2
+    assert all(not p.endswith(".mask.png") for p in ds.instance_images_path)
+    assert ds[0]["instance_images"].shape == (64, 64, 3)
