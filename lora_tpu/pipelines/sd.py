@@ -407,17 +407,20 @@ class StableDiffusionPipeline:
             noise_rng=noise_rng,
             lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
                                                                jnp.int32))
-        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
-        images = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
-        if output_type == "device":
-            # stay in HBM — serving paths that PNG-encode elsewhere (or
-            # chain into further device work) skip the host copy
-            images = jax.block_until_ready(images)
-        else:
-            images = np.asarray(images)
+        images = self._decode(latents, output_type)
         if return_latents:
             return images, latents
         return images
+
+    def _decode(self, latents: jax.Array, output_type: str = "np"):
+        """VAE-decode latents to [0,1] images. output_type='device' keeps
+        them in HBM — serving paths that PNG-encode elsewhere (or chain
+        into further device work) skip the host copy."""
+        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
+        images = jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+        if output_type == "device":
+            return jax.block_until_ready(images)
+        return np.asarray(images)
 
     def img2img(
         self,
@@ -429,6 +432,7 @@ class StableDiffusionPipeline:
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
         lora_idx: Optional[jax.Array] = None,
+        output_type: str = "np",
     ):
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
@@ -456,8 +460,7 @@ class StableDiffusionPipeline:
             num_inference_steps, use_cfg,
             lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
                                                                jnp.int32))
-        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
-        return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
+        return self._decode(latents, output_type)
 
     def inpaint(
         self,
@@ -468,6 +471,7 @@ class StableDiffusionPipeline:
         guidance_scale: float = 7.5,
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
+        output_type: str = "np",
     ):
         """9-channel SD-inpainting sampling (runwayml/sd-inpainting layout):
         unet input = [noisy latents | downsampled mask | masked-image
@@ -505,5 +509,4 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg, extra_channels=extra)
-        images = _jit_vae_decode(self.vae_params, latents, self.vae_cfg)
-        return np.asarray(jnp.clip(images.astype(jnp.float32) / 2 + 0.5, 0, 1))
+        return self._decode(latents, output_type)
