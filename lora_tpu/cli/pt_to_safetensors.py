@@ -10,8 +10,10 @@ name is derived from the reference's filename convention
     lora_weight.text_encoder.pt  -> text_encoder
     anything.NAME.pt             -> NAME
 
-Per-model overrides: ``--NAME.rank 8`` / ``--NAME.target_modules A,B``.
-Defaults per model name follow the reference's ``_target_by_name``
+Per-model overrides: ``--NAME.target_modules A,B`` sets the serialized
+target set; ``--NAME.rank 8`` is accepted as a cross-check against the
+rank derived from the tensors (mismatch is an error). Defaults per model
+name follow the reference's ``_target_by_name``
 (cli_pt_to_safetensors.py:13-17).
 """
 
@@ -85,6 +87,15 @@ def convert(*modelpaths: str, outpath: str, overwrite: bool = False,
         # keep the stored dtype (fp16 from save_lora_weight) so converted
         # files match reference conversions byte-for-byte
         pairs = pairs_from_flat([w.detach().cpu().numpy() for w in obj])
+        # rank is derived from the tensors themselves; accept the
+        # reference-style --NAME.rank override only as a cross-check
+        want_rank = settings.get(f"{name}.rank")
+        if want_rank is not None:
+            got = int(pairs[0][1].shape[0])  # down is (r, in[, kh, kw])
+            if int(want_rank) != got:
+                raise ValueError(
+                    f"--{name}.rank {want_rank} does not match the file's "
+                    f"actual rank {got}")
         print(f"LoRA model {name!r} from {path}: {len(pairs)} sites, "
               f"targets {sorted(target)}")
         modelmap[name] = (pairs, target)
@@ -103,6 +114,10 @@ def main():
         if a.startswith("--"):
             if "=" in a:
                 k, v = a[2:].split("=", 1)
+                i += 1
+            elif (a[2:] in ("overwrite",)  # boolean flags never take a value
+                  or i + 1 >= len(args) or args[i + 1].startswith("--")):
+                k, v = a[2:], "true"
                 i += 1
             else:
                 k, v = a[2:], args[i + 1]

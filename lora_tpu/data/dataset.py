@@ -430,8 +430,16 @@ def device_prefetch(iterator: Iterator, depth: int = 2,
 
     import jax
 
-    def put(batch):
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if sharding is not None:
+        # multihost-safe placement (process-local rows -> global array)
+        from ..parallel.mesh import put_batch_array
+
+        def put(batch):
+            return {k: put_batch_array(v, sharding)
+                    for k, v in batch.items()}
+    else:
+        def put(batch):
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     buf = collections.deque()
     for item in iterator:

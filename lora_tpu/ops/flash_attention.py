@@ -252,8 +252,12 @@ def _bwd(scale, res, g):
     S = k.shape[2]
     grid_bk = _pick_bk(S)            # kv rows per dkv program
     dq_bk = _kv_chunk(S, _cap(DQ_KV_CAP, q.dtype))  # dq-loop kv chunk
-    dkv_bq = (_kv_chunk(T, _cap(DKV_Q_CAP, q.dtype))
-              if T % _pick_bk(T) == 0 else BQ)
+    # T % BQ == 0 is the `supported()` precondition, so a q-block size
+    # always exists; fail loudly if a caller bypassed the guard
+    if _pick_bk(T) == 0:
+        raise ValueError(f"flash_attention backward needs T % {BQ} == 0, "
+                         f"got T={T} (see `supported`)")
+    dkv_bq = _kv_chunk(T, _cap(DKV_Q_CAP, q.dtype))
     qf = _scale_q(q, scale).reshape(B * H, T, D)
     kf = k.reshape(B * H, S, D)
     vf = v.reshape(B * H, S, D)

@@ -158,18 +158,44 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def put_batch_array(x, sharding):
+    """Place one batch array onto a (possibly multi-host) batch sharding.
+
+    Single-process: plain device_put. Multi-process: `x` holds THIS
+    process's rows of the global batch, and the global array is assembled
+    with jax.make_array_from_process_local_data — device_put of local rows
+    against a global sharding would mis-size the batch (each process only
+    addresses its own devices). Already-correctly-sharded jax.Arrays pass
+    through untouched (the trainers prefetch-then-shard)."""
+    if (isinstance(x, jax.Array) and getattr(x, "sharding", None) == sharding):
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Batch arrays hold the GLOBAL batch on a single process, or this
+    process's local rows under multi-process (global = local x
+    process_count)."""
     dp = data_parallel_size(mesh)
+    nproc = jax.process_count()
     for name, v in batch.items():
-        if v.shape[0] % dp != 0:
+        already_global = (isinstance(v, jax.Array)
+                          and not v.is_fully_addressable)
+        global_rows = (v.shape[0] if nproc == 1 or already_global
+                       else v.shape[0] * nproc)
+        if global_rows % dp != 0:
             raise ValueError(
-                f"global batch axis of {name!r} ({v.shape[0]}) is not "
+                f"global batch axis of {name!r} ({global_rows}) is not "
                 f"divisible by dp={dp}. Batch semantics are per-chip: the "
                 f"global batch is train_batch_size x dp, so pass the loader "
                 f"a multiple of dp (the trainers do this automatically)."
             )
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: put_batch_array(x, sh), batch)
 
 
 def mesh_from_flags(data_parallel: bool = False, fsdp: int = 1,

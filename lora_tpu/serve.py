@@ -76,6 +76,7 @@ class PipelineServer:
         import collections
         self._embeds: "collections.OrderedDict" = collections.OrderedDict()
         self._embed_cache_size = embed_cache_size
+        self._current_alpha = 1.0  # pipes patch/init at scale 1.0
         self.embed_cache_hits = 0
         self.embed_cache_misses = 0
         import queue
@@ -222,9 +223,17 @@ class PipelineServer:
             alpha = r0.get("alpha")
             if alpha is not None:
                 self.pipe.tune_lora_scale(float(alpha))
-                alpha = float(alpha)
-            emb = self._cached_embeds(prompts, alpha)
-            neg = (self._cached_embeds([negative] * len(prompts), alpha)
+                self._current_alpha = float(alpha)
+            # cache key uses the EFFECTIVE scale, not the request field: a
+            # request that omits alpha runs at whatever scale the pipe was
+            # last tuned to, and with a text-encoder LoRA patched the
+            # embeddings depend on it (keying on the raw request value
+            # served stale embeddings after an alpha change). Without a
+            # text LoRA the embeddings are scale-independent — one entry.
+            key_alpha = (self._current_alpha
+                         if self.pipe.lora_text is not None else None)
+            emb = self._cached_embeds(prompts, key_alpha)
+            neg = (self._cached_embeds([negative] * len(prompts), key_alpha)
                    if guidance > 1.0 else None)
             imgs = self.pipe(
                 None,

@@ -178,13 +178,20 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         import random as _random
 
         def cached_db_loader():
+            # every process draws the same global sample stream (same seed)
+            # and keeps its own contiguous slice of rows — shard_batch
+            # assembles the global array from process-local rows
             r = _random.Random(cfg.seed)
+            pi, pc = jax.process_index(), jax.process_count()
             while True:
                 lat = [inst[r.randrange(len(inst))]
                        for _ in range(global_batch)]
                 if cfg.with_prior_preservation:
                     lat += [cls_items[r.randrange(len(cls_items))]
                             for _ in range(global_batch)]
+                if pc > 1:
+                    per = len(lat) // pc
+                    lat = lat[pi * per:(pi + 1) * per]
                 yield {"latents": np.stack([l for l, _ in lat]),
                        "input_ids": np.stack([i for _, i in lat])}
 
@@ -284,54 +291,60 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     t_start = time.perf_counter()
     global_step = start_step
     preempted = False
+    loss = jnp.float32(float("nan"))  # defined even if the loop never runs
     micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
-    guard = PreemptionGuard().__enter__()
-    for micro in range(start_step * cfg.gradient_accumulation_steps,
-                       micro_steps):
-        if guard.should_stop:
-            # SIGTERM (TPU maintenance / scheduler preemption): checkpoint
-            # the FULL train state so --resume_state continues exactly here
-            _sts(os.path.join(cfg.output_dir, "train_state.safetensors"),
-                 trainable, opt_state, global_step, rng)
-            save(f"preempt_{global_step}")
-            preempted = True
-            print(f"Preempted at step {global_step}; train state saved")
-            break
-        batch = next(loader)
-        if cache_text:
-            batch["encoder_hidden_states"] = embed_ids(batch.pop("input_ids"))
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        if mesh is not None:
-            batch = mesh_lib.shard_batch(batch, mesh)
-        rng, krng = jax.random.split(rng)
-        trainable, opt_state, loss = step_fn(trainable, opt_state, base,
-                                             batch, krng)
-        if micro == start_step * cfg.gradient_accumulation_steps:
-            jax.block_until_ready(loss)
-            t_start = time.perf_counter()  # exclude compile from steps/sec
-        if (micro + 1) % cfg.gradient_accumulation_steps == 0:
-            global_step += 1
-            if global_step % 10 == 0 or global_step == 1:
-                lf = float(loss)
-                if not np.isfinite(lf):
-                    raise FloatingPointError(
-                        f"non-finite loss at step {global_step} — check LR "
-                        "(reference guidance: ~1e-4 for LoRA) / data")
-                log.log(step=global_step, loss=lf,
-                        sps=global_step / (time.perf_counter() - t_start))
-            if cfg.save_steps and global_step % cfg.save_steps == 0:
-                save(str(global_step))
-                if cfg.save_train_state:
-                    _sts(os.path.join(cfg.output_dir,
-                                      "train_state.safetensors"),
-                         trainable, opt_state, global_step, rng)
-                print("moved:",
-                      json.dumps({k: round(v[0], 6) for k, v in list(
-                          lora_core.inspect_lora(
-                              trainable["lora_unet"]).items())[:4]}))
+    guard = PreemptionGuard()
+    with guard:  # SIGTERM handler restored even if a step raises
+        for micro in range(start_step * cfg.gradient_accumulation_steps,
+                           micro_steps):
+            if guard.should_stop:
+                # SIGTERM (TPU maintenance / scheduler preemption):
+                # checkpoint the FULL train state so --resume_state
+                # continues exactly here
+                _sts(os.path.join(cfg.output_dir, "train_state.safetensors"),
+                     trainable, opt_state, global_step, rng)
+                save(f"preempt_{global_step}")
+                preempted = True
+                print(f"Preempted at step {global_step}; train state saved")
+                break
+            batch = next(loader)
+            if cache_text:
+                batch["encoder_hidden_states"] = embed_ids(batch.pop("input_ids"))
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            rng, krng = jax.random.split(rng)
+            trainable, opt_state, loss = step_fn(trainable, opt_state, base,
+                                                 batch, krng)
+            if micro == start_step * cfg.gradient_accumulation_steps:
+                jax.block_until_ready(loss)
+                t_start = time.perf_counter()  # exclude compile from steps/sec
+            if (micro + 1) % cfg.gradient_accumulation_steps == 0:
+                global_step += 1
+                if global_step % 10 == 0 or global_step == 1:
+                    lf = float(loss)
+                    if not np.isfinite(lf):
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step} — check LR "
+                            "(reference guidance: ~1e-4 for LoRA) / data")
+                    log.log(step=global_step, loss=lf,
+                            sps=global_step / (time.perf_counter() - t_start))
+                if cfg.save_steps and global_step % cfg.save_steps == 0:
+                    save(str(global_step))
+                    if cfg.save_train_state:
+                        _sts(os.path.join(cfg.output_dir,
+                                          "train_state.safetensors"),
+                             trainable, opt_state, global_step, rng)
+                    print("moved:",
+                          json.dumps({k: round(v[0], 6) for k, v in list(
+                              lora_core.inspect_lora(
+                                  trainable["lora_unet"]).items())[:4]}))
 
-    guard.__exit__()
-    save("final", final=True)
+    if not preempted:
+        # a preempted run must NOT overwrite the completed-run artifact
+        # (lora_weight.safetensors) with a partially-trained adapter; its
+        # outputs are the preempt_{step} save + train_state.safetensors
+        save("final", final=True)
     elapsed = time.perf_counter() - t_start
     result = {"steps": global_step, "seconds": elapsed,
               "steps_per_sec": global_step / max(elapsed, 1e-9),

@@ -188,16 +188,24 @@ def cache_latents(pipe, dataset, rng):
 
 
 def cached_loader(items, batch_size, seed=0):
+    """Yields batches of `batch_size` global rows; under multi-process every
+    process draws the same stream (same seed) and keeps its contiguous
+    slice — shard_batch assembles the global array from local rows."""
     import random as _random
 
     rng = _random.Random(seed)
+    pi, pc = jax.process_index(), jax.process_count()
     while True:
         idxs = list(range(len(items)))
         rng.shuffle(idxs)
         while len(idxs) < batch_size:  # tiny datasets: repeat
             idxs = idxs + idxs
         for s in range(0, len(idxs) - batch_size + 1, batch_size):
-            chunk = [items[i] for i in idxs[s:s + batch_size]]
+            take = idxs[s:s + batch_size]
+            if pc > 1:
+                per = batch_size // pc
+                take = take[pi * per:(pi + 1) * per]
+            chunk = [items[i] for i in take]
             yield {key: np.stack([c[key] for c in chunk])
                    for key in chunk[0]}
 
@@ -300,40 +308,40 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         t0 = time.perf_counter()
         global_step = 0
         loss = jnp.float32(0)
-        guard = PreemptionGuard().__enter__()
-        for micro in range(steps * ga):
-            if guard.should_stop:
-                # SIGTERM: save the phase's adapters/embeds and stop cleanly
-                save_fn(trainable, global_step)
-                print(f"Preempted in {phase_name} at step {global_step}; "
-                      "artifacts saved")
-                break
-            batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
-            rng, k = jax.random.split(rng)
-            trainable, opt_state, loss = step_fn(trainable, opt_state, base,
-                                                 batch, k)
-            if (micro + 1) % ga == 0:
-                global_step += 1
-                if apply_norm_prior and "ti" in trainable and cfg.clip_ti_decay:
-                    lr_now = float(ti_lr_sched(global_step)) \
-                        if callable(ti_lr_sched) else ti_lr
-                    trainable["ti"]["embeds"] = ti_norm_prior(
-                        trainable["ti"]["embeds"], lr_now)
-                if global_step % 20 == 0 or global_step == 1:
-                    lf = float(loss)
-                    if not np.isfinite(lf):
-                        raise FloatingPointError(
-                            f"non-finite loss in {phase_name} at step "
-                            f"{global_step}")
-                    log.log(phase=phase_name, step=global_step, loss=lf,
-                            sps=global_step / (time.perf_counter() - t0))
-                if cfg.save_steps and global_step % cfg.save_steps == 0:
+        guard = PreemptionGuard()
+        with guard:  # SIGTERM handler restored even if a step raises
+            for micro in range(steps * ga):
+                if guard.should_stop:
+                    # SIGTERM: save the phase's adapters/embeds and stop cleanly
                     save_fn(trainable, global_step)
-            if global_step >= steps:
-                break
-        guard.__exit__()
+                    print(f"Preempted in {phase_name} at step {global_step}; "
+                          "artifacts saved")
+                    break
+                batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+                if mesh is not None:
+                    batch = mesh_lib.shard_batch(batch, mesh)
+                rng, k = jax.random.split(rng)
+                trainable, opt_state, loss = step_fn(trainable, opt_state, base,
+                                                     batch, k)
+                if (micro + 1) % ga == 0:
+                    global_step += 1
+                    if apply_norm_prior and "ti" in trainable and cfg.clip_ti_decay:
+                        lr_now = float(ti_lr_sched(global_step)) \
+                            if callable(ti_lr_sched) else ti_lr
+                        trainable["ti"]["embeds"] = ti_norm_prior(
+                            trainable["ti"]["embeds"], lr_now)
+                    if global_step % 20 == 0 or global_step == 1:
+                        lf = float(loss)
+                        if not np.isfinite(lf):
+                            raise FloatingPointError(
+                                f"non-finite loss in {phase_name} at step "
+                                f"{global_step}")
+                        log.log(phase=phase_name, step=global_step, loss=lf,
+                                sps=global_step / (time.perf_counter() - t0))
+                    if cfg.save_steps and global_step % cfg.save_steps == 0:
+                        save_fn(trainable, global_step)
+                if global_step >= steps:
+                    break
         return trainable, float(loss)
 
     ti_embeds = ti_init

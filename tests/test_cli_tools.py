@@ -190,6 +190,24 @@ def test_pt_to_safetensors_reference_filenames(pipe, tmp_path):
     with pytest.raises(ValueError, match="map to model name"):
         convert(lora_path, dup_path, outpath=str(tmp_path / "dup.safetensors"))
 
+    # rank override is a cross-check: correct value passes, wrong one errors
+    convert(lora_path, outpath=out, overwrite=True,
+            **{"unet.rank": unet_pairs[0][1].shape[0]})
+    with pytest.raises(ValueError, match="does not match"):
+        convert(lora_path, outpath=out, overwrite=True, **{"unet.rank": 99})
+
+    # argv parsing: bare --overwrite must behave as a boolean flag in any
+    # position (regression: it swallowed the next argument / IndexError'd)
+    import sys as _sys
+    from unittest import mock
+
+    from lora_tpu.cli import pt_to_safetensors as mod
+
+    for argv in (["prog", lora_path, "--outpath", out, "--overwrite"],
+                 ["prog", "--overwrite", lora_path, "--outpath", out]):
+        with mock.patch.object(_sys, "argv", argv):
+            mod.main()  # succeeds over the existing file
+
 
 def test_ckpt_export_keys(pipe, tmp_path):
     import torch

@@ -117,3 +117,35 @@ def test_embed_cache_hits_and_determinism(server):
     # second request: prompt AND negative prompt both hit the cache
     assert server.embed_cache_hits >= h0 + 2
     assert out1["images"] == out2["images"]
+
+
+def test_embed_cache_tracks_effective_alpha(server):
+    """With a text-encoder LoRA patched, a request that omits alpha runs at
+    the pipe's current scale; the cache must key on that EFFECTIVE scale —
+    a no-alpha request after an alpha change must not reuse embeddings
+    encoded at the old scale (regression: stale conditioning)."""
+    import numpy as np
+
+    from lora_tpu.core.lora import init_lora
+
+    pipe = server.pipe
+    had_text = pipe.lora_text
+    pipe.lora_text = init_lora(pipe.text_sites(), r=2,
+                               rng=jax.random.PRNGKey(5))
+    # make the text LoRA actually change the embeddings (ups init to zero)
+    for e in pipe.lora_text["sites"].values():
+        e["up"] = e["up"] + 0.05
+    try:
+        base = {"prompt": "alpha probe", "steps": 2, "height": 64,
+                "width": 64, "seed": 11}
+        out_a, _ = _post(server, {**base, "alpha": 0.0})
+        out_none, _ = _post(server, base)       # runs at effective 0.0
+        out_b, _ = _post(server, {**base, "alpha": 1.0})
+        out_none2, _ = _post(server, base)      # now effective 1.0
+        assert out_none["images"] == out_a["images"]
+        assert out_none2["images"] == out_b["images"]
+        assert out_a["images"] != out_b["images"]
+    finally:
+        pipe.lora_text = had_text
+        pipe.tune_lora_scale(1.0)
+        server._current_alpha = 1.0

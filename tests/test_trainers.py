@@ -234,9 +234,40 @@ def test_dreambooth_preemption_checkpoint(pipe, image_dir, tmp_path):
     assert res["preempted"] is True
     assert res["steps"] < 500
     assert os.path.exists(os.path.join(out, "train_state.safetensors"))
+    # a preempted run must not write the completed-run artifact name
+    assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
     # resume picks up exactly where the preempted run stopped
     cfg2 = dataclasses.replace(
         cfg, max_train_steps=res["steps"] + 2,
         resume_state=os.path.join(out, "train_state.safetensors"))
     res2 = train_dreambooth(dataclasses.replace(pipe), cfg2)
     assert res2["preempted"] is False and res2["steps"] == res["steps"] + 2
+
+
+@pytest.mark.slow
+def test_dreambooth_preemption_before_first_step(pipe, image_dir, tmp_path,
+                                                 monkeypatch):
+    """SIGTERM that lands before any step runs (e.g. during the multi-minute
+    first compile) must still return cleanly: steps=0, state checkpoint
+    written, no crash on the never-assigned loss, and no final lora_weight
+    artifact."""
+    import dataclasses
+
+    from lora_tpu.training import checkpoint as ckpt
+
+    class _Preempted(ckpt.PreemptionGuard):
+        def __enter__(self):
+            super().__enter__()
+            self.should_stop = True  # as if the signal already arrived
+            return self
+
+    monkeypatch.setattr(ckpt, "PreemptionGuard", _Preempted)
+    out = str(tmp_path / "db_preempt0")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=50, save_steps=0, cached_latents=True, seed=0)
+    res = train_dreambooth(dataclasses.replace(pipe), cfg)
+    assert res["preempted"] is True and res["steps"] == 0
+    assert os.path.exists(os.path.join(out, "train_state.safetensors"))
+    assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
