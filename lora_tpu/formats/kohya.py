@@ -1,0 +1,121 @@
+"""kohya-ss / AUTOMATIC1111-webui LoRA format interop.
+
+The reference repo predates the community's convergence on the kohya key
+schema (`lora_unet_<module>_<path>.lora_down.weight` / `.lora_up.weight` /
+`.alpha`); users migrating from cloneofsimo-format files routinely need
+both directions, so this module converts between the formats losslessly
+for the module sets both cover (attention + GEGLU linears and, for
+extended LoRAs, resnet convs).
+
+Key mapping: our site names ARE diffusers module paths (core/sites.py),
+so the kohya key is `lora_unet_` (or `lora_te_`) + the path with dots
+replaced by underscores. `.alpha` stores the site's rank (multiplier
+alpha/rank = 1.0) and the runtime scale is folded into `lora_up` exactly
+as the reference's realize_as_lora does at save (lora.py:60-61); on load,
+files with alpha != rank get alpha/rank folded into the up weights, so
+sampling matches webui's effective multiplier.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.lora import LoraTree, lora_from_pairs, lora_to_pairs
+from ..core.sites import Site
+from .reader import SafetensorsFile, save_file
+
+_PREFIX = {"unet": "lora_unet", "text_encoder": "lora_te"}
+
+
+def kohya_key(model: str, site_name: str) -> str:
+    return _PREFIX[model] + "_" + site_name.replace(".", "_")
+
+
+def save_kohya(
+    path: str,
+    *,
+    lora_unet: Optional[LoraTree] = None,
+    unet_sites: Optional[Sequence[Site]] = None,
+    lora_text: Optional[LoraTree] = None,
+    text_sites: Optional[Sequence[Site]] = None,
+    dtype=np.float16,
+) -> None:
+    tensors: Dict[str, np.ndarray] = {}
+    for model, lora, sites in (("unet", lora_unet, unet_sites),
+                               ("text_encoder", lora_text, text_sites)):
+        if lora is None:
+            continue
+        for site, (up, down) in zip(sites, lora_to_pairs(lora, sites)):
+            base = kohya_key(model, site.name)
+            tensors[base + ".lora_down.weight"] = down.astype(dtype)
+            tensors[base + ".lora_up.weight"] = up.astype(dtype)
+            tensors[base + ".alpha"] = np.asarray(float(down.shape[0]),
+                                                  dtype)
+    save_file(tensors, path, {"library": "lora_tpu"})
+
+
+def _site_index(model: str, sites: Sequence[Site]) -> Dict[str, Site]:
+    return {kohya_key(model, s.name): s for s in sites}
+
+
+def load_kohya(
+    path: str,
+    *,
+    unet_sites: Optional[Sequence[Site]] = None,
+    text_sites: Optional[Sequence[Site]] = None,
+    dtype=np.float32,
+) -> Tuple[Optional[LoraTree], Optional[LoraTree]]:
+    """Returns (lora_unet, lora_text); a model whose sites are not given
+    (or that has no keys in the file) comes back None. Unknown keys — e.g.
+    LoCon conv blocks outside the given site sets — raise with the key
+    names so silent partial loads cannot happen."""
+    with SafetensorsFile(path) as f:
+        keys = list(f.keys())
+        groups: Dict[str, Dict[str, np.ndarray]] = {}
+        for k in keys:
+            base, _, leaf = k.rpartition(".")
+            if leaf == "weight":
+                base, _, which = base.rpartition(".")
+                groups.setdefault(base, {})[which] = f.get_tensor(k)
+            elif leaf == "alpha":
+                groups.setdefault(base, {})["alpha"] = f.get_tensor(k)
+            else:
+                raise ValueError(f"unrecognized kohya key {k!r}")
+
+        out = {}
+        for model, sites in (("unet", unet_sites),
+                             ("text_encoder", text_sites)):
+            if sites is None:
+                out[model] = None
+                continue
+            index = _site_index(model, sites)
+            present = {b: g for b, g in groups.items() if b in index}
+            if not present:
+                out[model] = None
+                continue
+            unknown = [b for b in groups
+                       if b.startswith(_PREFIX[model] + "_")
+                       and b not in index]
+            if unknown:
+                raise ValueError(
+                    f"kohya file has {model} modules outside the known "
+                    f"site set (LoCon/unsupported targets?): "
+                    f"{sorted(unknown)[:5]}{'...' if len(unknown) > 5 else ''}")
+            # kohya trainers cover varying module subsets (attn-only,
+            # attn+ff, ...); the LoRA pytree applies wherever a site is
+            # present, so partial coverage loads fine
+            pairs, matched_sites = [], []
+            for s in sites:
+                g = present.get(kohya_key(model, s.name))
+                if g is None:
+                    continue
+                up = np.asarray(g["lora_up"], np.float32)
+                down = np.asarray(g["lora_down"], np.float32)
+                alpha = float(np.asarray(g.get("alpha", down.shape[0])))
+                up = up * (alpha / down.shape[0])  # webui multiplier
+                pairs.append((up, down))
+                matched_sites.append(s)
+            out[model] = lora_from_pairs(pairs, matched_sites, dtype=dtype)
+    return out["unet"], out["text_encoder"]

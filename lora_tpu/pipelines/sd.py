@@ -237,9 +237,28 @@ class StableDiffusionPipeline:
 
     def patch_pipe(self, path: str, patch_unet=True, patch_text=True,
                    patch_ti=True) -> Dict[str, np.ndarray]:
-        """Load a reference-format safetensors LoRA (+TI embeds) into the
-        pipeline. Reference patch_pipe, lora.py:958-1022."""
+        """Load a safetensors LoRA (+TI embeds) into the pipeline.
+        Reference patch_pipe, lora.py:958-1022. Files in the kohya-ss /
+        webui key schema (lora_unet_*/lora_te_*) are auto-detected and
+        routed through formats/kohya.py."""
         with SafetensorsFile(path) as f:
+            if any(k.startswith(("lora_unet_", "lora_te_"))
+                   for k in f.keys()):
+                from ..formats.kohya import load_kohya
+
+                # widest site set (extended incl. resnet convs) so kohya
+                # files covering more than attention still load
+                usites = self.unet_sites(
+                    {"CrossAttention", "Attention", "GEGLU",
+                     "ResnetBlock2D"}) if patch_unet else None
+                lu, lt = load_kohya(
+                    path, unet_sites=usites,
+                    text_sites=self.text_sites(None) if patch_text else None)
+                if lu is not None:
+                    self.lora_unet = lu
+                if lt is not None:
+                    self.lora_text = lt
+                return {}  # kohya files carry no TI embeds
             loras = parse_safeloras(f)
             embeds = parse_safeloras_embeds(f)
         if patch_unet and "unet" in loras:

@@ -21,6 +21,7 @@ setup(
             "lora_db = lora_tpu.cli.lora_db:main",
             "lora_ti = lora_tpu.cli.lora_ti:main",
             "lora_serve = lora_tpu.serve:main",
+            "lora_kohya = lora_tpu.cli.kohya_convert:main",
         ],
     },
     python_requires=">=3.10",
