@@ -91,6 +91,10 @@ def convert(inpath: str, outpath: str, unet_cfg=None, text_cfg=None) -> None:
 
 
 def main():
+    if "--help" in sys.argv[1:] or "-h" in sys.argv[1:]:
+        print("usage: lora_kohya IN.safetensors OUT.safetensors\n")
+        print(__doc__)
+        return
     if len(sys.argv) != 3:
         print(__doc__)
         raise SystemExit(2)

@@ -13,6 +13,7 @@ CLIS = [
     "lora_tpu.cli.lora_db",
     "lora_tpu.cli.lora_ti",
     "lora_tpu.cli.lora_ppim",
+    "lora_tpu.cli.kohya_convert",
 ]
 
 
