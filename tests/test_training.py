@@ -392,3 +392,34 @@ def test_fused_optimizer_matches_per_leaf():
                     jax.tree_util.tree_leaves(w_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_multiprocess_batch_slicing(monkeypatch):
+    """Multihost contract: cached loaders yield THIS process's contiguous
+    slice of the shared sample stream, and shard_batch validates global
+    rows as local x process_count (single-process paths unchanged)."""
+    import numpy as np
+
+    from lora_tpu.parallel import mesh as mesh_lib
+    from lora_tpu.training.pti import cached_loader
+
+    items = [{"latents": np.full((2, 2), i, np.float32)} for i in range(8)]
+
+    def stream(pi, pc, n=3):
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        it = cached_loader(items, 4, seed=0)
+        return [next(it)["latents"] for _ in range(n)]
+
+    whole = stream(0, 1)
+    p0 = stream(0, 2)
+    p1 = stream(1, 2)
+    for w, a, b in zip(whole, p0, p1):
+        # the two process slices are disjoint halves of the global batch
+        np.testing.assert_array_equal(np.concatenate([a, b]), w)
+
+    # shard_batch: local rows x process_count must divide dp
+    mesh = mesh_lib.make_mesh(dp=8)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="not\ndivisible|not divisible"):
+        mesh_lib.shard_batch({"x": np.zeros((3, 2))}, mesh)
