@@ -25,13 +25,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from lora_tpu.utils import compile_cache
+
 # persistent compile cache: repeat bench runs skip the big XLA compiles
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+compile_cache.enable("/root/repo/.jax_cache")
 
 BASELINE_STEPS_PER_SEC_PER_CHIP = 800.0 / 120.0 / 8.0  # 0.833
 PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) per chip

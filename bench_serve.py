@@ -23,12 +23,9 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+from lora_tpu.utils import compile_cache
+
+compile_cache.enable("/root/repo/.jax_cache")
 
 STEPS = 50
 REPS = 3

@@ -17,6 +17,7 @@ from ..formats.kohya import load_kohya, save_kohya
 from ..formats.reader import SafetensorsFile
 from ..formats.safetensors_io import (
     TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    UNET_DEFAULT_TARGET_REPLACE,
     UNET_EXTENDED_TARGET_REPLACE,
     parse_safeloras,
     parse_safeloras_embeds,
@@ -37,8 +38,6 @@ def convert(inpath: str, outpath: str, unet_cfg=None, text_cfg=None) -> None:
                        for k in f.keys())
 
     if is_kohya:
-        from ..formats.safetensors_io import UNET_DEFAULT_TARGET_REPLACE
-
         usites = unet_lora_sites(SD15_UNET, UNET_EXTENDED_TARGET_REPLACE)
         tsites = text_encoder_lora_sites(SD15_TEXT)
         lu, lt = load_kohya(inpath, unet_sites=usites, text_sites=tsites)

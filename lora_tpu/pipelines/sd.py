@@ -248,9 +248,12 @@ class StableDiffusionPipeline:
 
                 # widest site set (extended incl. resnet convs) so kohya
                 # files covering more than attention still load
-                usites = self.unet_sites(
-                    {"CrossAttention", "Attention", "GEGLU",
-                     "ResnetBlock2D"}) if patch_unet else None
+                from ..formats.safetensors_io import (
+                    UNET_EXTENDED_TARGET_REPLACE,
+                )
+
+                usites = (self.unet_sites(UNET_EXTENDED_TARGET_REPLACE)
+                          if patch_unet else None)
                 lu, lt = load_kohya(
                     path, unet_sites=usites,
                     text_sites=self.text_sites(None) if patch_text else None)

@@ -293,8 +293,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     preempted = False
     loss = jnp.float32(float("nan"))  # defined even if the loop never runs
     micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
-    guard = PreemptionGuard()
-    with guard:  # SIGTERM handler restored even if a step raises
+    with PreemptionGuard() as guard:  # handler restored even on raise
         for micro in range(start_step * cfg.gradient_accumulation_steps,
                            micro_steps):
             if guard.should_stop:

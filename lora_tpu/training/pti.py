@@ -308,8 +308,7 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         t0 = time.perf_counter()
         global_step = 0
         loss = jnp.float32(0)
-        guard = PreemptionGuard()
-        with guard:  # SIGTERM handler restored even if a step raises
+        with PreemptionGuard() as guard:  # handler restored even on raise
             for micro in range(steps * ga):
                 if guard.should_stop:
                     # SIGTERM: save the phase's adapters/embeds and stop cleanly
