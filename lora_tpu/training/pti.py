@@ -308,11 +308,13 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         t0 = time.perf_counter()
         global_step = 0
         loss = jnp.float32(0)
+        preempted = False
         with PreemptionGuard() as guard:  # handler restored even on raise
             for micro in range(steps * ga):
                 if guard.should_stop:
                     # SIGTERM: save the phase's adapters/embeds and stop cleanly
                     save_fn(trainable, global_step)
+                    preempted = True
                     print(f"Preempted in {phase_name} at step {global_step}; "
                           "artifacts saved")
                     break
@@ -341,7 +343,7 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                         save_fn(trainable, global_step)
                 if global_step >= steps:
                     break
-        return trainable, float(loss)
+        return trainable, float(loss), preempted
 
     ti_embeds = ti_init
     # ---------------- Phase 1: inversion ----------------
@@ -359,12 +361,18 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         loss_cfg = LossConfig(cached_latents=cfg.cached_latents,
                               train_inpainting=cfg.train_inpainting,
                               gradient_checkpointing=cfg.gradient_checkpointing)
-        trainable, inv_loss = run_phase(
+        trainable, inv_loss, preempted = run_phase(
             trainable, {"ti": ti_sched}, cfg.max_train_steps_ti, loss_cfg,
             "inversion", save_inv, apply_norm_prior=True,
             ti_lr_sched=ti_sched)
         ti_embeds = trainable["ti"]["embeds"]
         log.log(phase="inversion", final_loss=inv_loss)
+        if preempted:
+            # SIGTERM during inversion: do NOT proceed to tuning or write
+            # the final artifact — the step_inv_* save above is the output
+            return {"trainable": trainable, "ti_ids": np.asarray(ti_ids),
+                    "placeholder_tokens": placeholder_tokens,
+                    "final_loss": inv_loss, "preempted": True}
 
     # ---------------- Phase 2: tuning ----------------
     dataset.blur_amount = 70  # (cli_lora_pti.py:1003)
@@ -436,14 +444,17 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                           mask_temperature=cfg.mask_temperature,
                           lora_dropout_p=cfg.lora_dropout_p,
                           gradient_checkpointing=cfg.gradient_checkpointing)
-    trainable, tune_loss = run_phase(
+    trainable, tune_loss, preempted = run_phase(
         trainable, lrs, cfg.max_train_steps_tuning, loss_cfg, "tune",
         save_tune, apply_norm_prior=False)
 
     print("PTI : drift:", {k: round(v[0], 6) for k, v in list(
         lora_core.inspect_lora(trainable["lora_unet"]).items())[:4]})
-    save_tune(trainable, 0, name=f"{cfg.out_name}.safetensors")
+    if not preempted:
+        # a preempted run keeps its step_* phase save; don't write the
+        # completed-run artifact name with a partially-tuned adapter
+        save_tune(trainable, 0, name=f"{cfg.out_name}.safetensors")
     log.log(phase="tune", final_loss=tune_loss)
     return {"trainable": trainable, "ti_ids": np.asarray(ti_ids),
             "placeholder_tokens": placeholder_tokens,
-            "final_loss": tune_loss}
+            "final_loss": tune_loss, "preempted": preempted}

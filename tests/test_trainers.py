@@ -271,3 +271,34 @@ def test_dreambooth_preemption_before_first_step(pipe, image_dir, tmp_path,
     assert res["preempted"] is True and res["steps"] == 0
     assert os.path.exists(os.path.join(out, "train_state.safetensors"))
     assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
+
+
+@pytest.mark.slow
+def test_pti_preemption_stops_whole_run(pipe, image_dir, tmp_path,
+                                        monkeypatch):
+    """SIGTERM during PTI phase 1 must stop the WHOLE run (regression: the
+    next phase used to start with a fresh guard and keep training) and must
+    not write the final artifact."""
+    import dataclasses
+
+    from lora_tpu.training import checkpoint as ckpt
+
+    class _Preempted(ckpt.PreemptionGuard):
+        def __enter__(self):
+            super().__enter__()
+            self.should_stop = True
+            return self
+
+    monkeypatch.setattr(ckpt, "PreemptionGuard", _Preempted)
+    out = str(tmp_path / "pti_preempt")
+    cfg = PTIConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        placeholder_tokens="<s1>", use_template="object", resolution=64,
+        lora_rank=2, max_train_steps_ti=5, max_train_steps_tuning=5,
+        save_steps=0, cached_latents=True, seed=2)
+    p = dataclasses.replace(pipe)
+    p.tokenizer = type(pipe.tokenizer)(vocab_size=TINY_TEXT.vocab_size)
+    res = train_pti(p, cfg)
+    assert res["preempted"] is True
+    assert os.path.exists(os.path.join(out, "step_inv_0.safetensors"))
+    assert not os.path.exists(os.path.join(out, "final_lora.safetensors"))
