@@ -142,17 +142,31 @@ def train_ti_lora_legacy(pipe: StableDiffusionPipeline,
 
     t0 = time.perf_counter()
     loss = jnp.float32(0)
-    for step in range(cfg.max_train_steps):
-        batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
-        rng, k = jax.random.split(rng)
-        trainable, opt_state, loss = step_fn(trainable, opt_state, base,
-                                             batch, k)
-        if (step + 1) % 20 == 0 or step == 0:
-            log.log(step=step + 1, loss=float(loss),
-                    phase="ti" if step < cfg.unfreeze_lora_step else "lora")
-        if cfg.save_steps and (step + 1) % cfg.save_steps == 0:
-            save(trainable, f"lora_ti_s{step + 1}")
+    from .checkpoint import PreemptionGuard
 
-    save(trainable, "lora_ti_final")
+    loss = jnp.float32(float("nan"))
+    preempted = False
+    with PreemptionGuard() as guard:
+        for step in range(cfg.max_train_steps):
+            if guard.should_stop:
+                # SIGTERM: save current adapters/embeds and stop cleanly
+                save(trainable, f"lora_ti_preempt_{step}")
+                preempted = True
+                print(f"Preempted at step {step}; artifacts saved")
+                break
+            batch = {k: jnp.asarray(v) for k, v in next(loader).items()}
+            rng, k = jax.random.split(rng)
+            trainable, opt_state, loss = step_fn(trainable, opt_state, base,
+                                                 batch, k)
+            if (step + 1) % 20 == 0 or step == 0:
+                log.log(step=step + 1, loss=float(loss),
+                        phase="ti" if step < cfg.unfreeze_lora_step
+                        else "lora")
+            if cfg.save_steps and (step + 1) % cfg.save_steps == 0:
+                save(trainable, f"lora_ti_s{step + 1}")
+
+    if not preempted:
+        save(trainable, "lora_ti_final")
     return {"trainable": trainable, "final_loss": float(loss),
+            "preempted": preempted,
             "seconds": time.perf_counter() - t0}
