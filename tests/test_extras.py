@@ -121,3 +121,31 @@ def test_inpaint_requires_9ch(image_dir):
     with pytest.raises(AssertionError):
         pipe.inpaint("x", jnp.zeros((1, 64, 64, 3)),
                      jnp.zeros((1, 64, 64, 1)), num_inference_steps=1)
+
+
+@pytest.mark.slow
+def test_legacy_ti_trainer_preemption(image_dir, tmp_path, monkeypatch):
+    """SIGTERM stops the legacy trainer cleanly: preempt artifact saved,
+    final artifact NOT written, preempted=True."""
+    from lora_tpu.training import checkpoint as ckpt
+    from lora_tpu.training.ti_legacy import LegacyTiConfig, train_ti_lora_legacy
+
+    class _Preempted(ckpt.PreemptionGuard):
+        def __enter__(self):
+            super().__enter__()
+            self.should_stop = True
+            return self
+
+    monkeypatch.setattr(ckpt, "PreemptionGuard", _Preempted)
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    out = str(tmp_path / "ti_preempt")
+    cfg = LegacyTiConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        placeholder_token="<krk>", resolution=64, lora_rank=2,
+        max_train_steps=4, unfreeze_lora_step=2, save_steps=0, seed=0)
+    res = train_ti_lora_legacy(pipe, cfg)
+    assert res["preempted"] is True
+    assert os.path.exists(os.path.join(out, "lora_ti_preempt_0.safetensors"))
+    assert not os.path.exists(os.path.join(out, "lora_ti_final.safetensors"))
