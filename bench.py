@@ -106,7 +106,12 @@ def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
         if plausible(s):
             sps = max(sps, s)
     mfu = round(100.0 * sps * flops / PEAK_BF16_FLOPS, 1) if flops else None
-    return sps, mfu, flops
+    try:  # peak device memory over the run (reference claim: >12 GB GPU)
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+    except Exception:
+        peak_gb = None
+    return sps, mfu, flops, peak_gb
 
 
 def _make_models(need_vae: bool):
@@ -131,17 +136,18 @@ def one(spec: str):
     bs, kind = spec.split(":")
     cached = kind == "cached"
     models = _make_models(need_vae=not cached)
-    s, m, fl = _bench_config(int(bs), cached=cached, models=models,
-                             n_steps=15, windows=2)
+    s, m, fl, peak = _bench_config(int(bs), cached=cached, models=models,
+                                   n_steps=15, windows=2)
     print(json.dumps({"config": spec, "steps_per_sec": round(s, 3),
                       "images_per_sec": round(s * int(bs), 2),
-                      "mfu_pct": m, "flops_per_step": fl}))
+                      "mfu_pct": m, "flops_per_step": fl,
+                      "peak_hbm_gb": peak}))
 
 
 def main(full: bool = False):
     models = _make_models(need_vae=full)
 
-    sps, mfu, flops = _bench_config(1, cached=True, models=models)
+    sps, mfu, flops, peak = _bench_config(1, cached=True, models=models)
     out = {
         "metric": "dreambooth_lora_rank4_train_steps_per_sec_per_chip",
         "value": round(sps, 4),
@@ -149,21 +155,22 @@ def main(full: bool = False):
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
         "mfu_pct": mfu,
         "flops_per_step": flops,
+        "peak_hbm_gb": peak,
     }
 
     if full:
         scaling = {}
         for bs in (4, 8):
-            s, m, _ = _bench_config(bs, cached=True, models=models,
-                                    n_steps=15, windows=2)
+            s, m, _, _ = _bench_config(bs, cached=True, models=models,
+                                       n_steps=15, windows=2)
             scaling[str(bs)] = {"steps_per_sec": round(s, 3),
                                 "images_per_sec": round(s * bs, 2),
                                 "mfu_pct": m}
         out["batch_scaling_cached"] = scaling
         unc = {}
         for bs in (1, 4):
-            s, m, _ = _bench_config(bs, cached=False, models=models,
-                                    n_steps=15, windows=2)
+            s, m, _, _ = _bench_config(bs, cached=False, models=models,
+                                       n_steps=15, windows=2)
             unc[str(bs)] = {"steps_per_sec": round(s, 3),
                             "images_per_sec": round(s * bs, 2),
                             "mfu_pct": m}
