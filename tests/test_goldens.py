@@ -1,6 +1,14 @@
 """Self-golden numeric regression: tiny-config outputs at pinned seeds,
 frozen in tests/goldens/tiny_golden.npz (regenerate with
-tests/goldens/regen.py after an INTENTIONAL numeric change)."""
+tests/goldens/regen.py after an INTENTIONAL numeric change).
+
+CPU lane only: the fixtures pin CPU arithmetic. On TPU, transcendental ops
+(exp/rsqrt/sigmoid) round differently — the UNet forward lands ~2e-5 off,
+within physics but outside these deliberately tight regression tolerances,
+and DPM++2M's multistep eps extrapolation chaotically amplifies that with
+random weights. Hardware numerics are covered by the cross-implementation
+oracle tests (tests/test_torch_oracle.py) whose tolerances are physical,
+and by the TPU kernel lane (test_flash_attention/test_lora_core)."""
 
 import os
 
@@ -8,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+if jax.default_backend() in ("tpu", "axon"):
+    pytest.skip("CPU-pinned fixtures; see module docstring",
+                allow_module_level=True)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                       "tiny_golden.npz")
