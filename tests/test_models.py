@@ -49,10 +49,13 @@ def test_unet_forward_shape(unet_params):
 def test_unet_jit_matches_eager(unet_params):
     sample, t, ctx = unet_inputs()
     f = jax.jit(lambda p, s, t, c: unet_forward(p, s, t, c, TINY_UNET))
+    # on TPU, jit fusion moves rounding points vs op-by-op eager (~2e-5
+    # max observed); on CPU the two paths agree to float noise
+    tol = 1e-4 if jax.default_backend() in ("tpu", "axon") else 1e-5
     np.testing.assert_allclose(
         np.asarray(f(unet_params, sample, t, ctx)),
         np.asarray(unet_forward(unet_params, sample, t, ctx, TINY_UNET)),
-        rtol=2e-5, atol=1e-5,
+        rtol=2 * tol, atol=tol,
     )
 
 
