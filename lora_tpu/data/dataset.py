@@ -523,6 +523,12 @@ def data_loader(dataset, batch_size: int, shuffle: bool = True,
             pixel = np.concatenate(
                 [pixel, np.stack([c["class_images"] for c in chunk])])
             ids = ids + [c["class_prompt_ids"] for c in chunk]
+            # explicit row-layout mask: under multi-process the global batch
+            # is assembled from per-process [inst | class] blocks, so the
+            # loss cannot rely on a positional midpoint split (loss.py)
+            n = len(chunk)
+            batch["is_instance"] = np.concatenate(
+                [np.ones(n, np.float32), np.zeros(n, np.float32)])
         batch["pixel_values"] = pixel.astype(np.float32)
         batch["input_ids"] = np.asarray(ids, np.int64)
         if "mask" in chunk[0]:

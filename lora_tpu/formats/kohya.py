@@ -84,6 +84,18 @@ def load_kohya(
             else:
                 raise ValueError(f"unrecognized kohya key {k!r}")
 
+        # a KNOWN site can still carry sub-tensors we don't implement —
+        # e.g. LoCon CP-decomposition's '<site>.lora_mid.weight'. Loading
+        # up@down while ignoring the mid factor would be silently wrong
+        # weights, so reject any group with keys beyond the plain schema.
+        for base, g in groups.items():
+            extra = sorted(set(g) - {"lora_up", "lora_down", "alpha"})
+            if extra:
+                raise ValueError(
+                    f"kohya module {base!r} has unsupported sub-tensors "
+                    f"{extra} (LoCon/LyCORIS decomposition?); refusing a "
+                    f"partial load")
+
         out = {}
         for model, sites in (("unet", unet_sites),
                              ("text_encoder", text_sites)):

@@ -115,17 +115,27 @@ def group_norm(p: Params, name: str, x: jax.Array, groups: int,
     128 lanes and the stats passes ran ~17x over roofline at batch 8.
     Instead reduce spatially per-CHANNEL first (native NHWC layout, C
     minor, lane-dense), then combine channels into groups on a tiny (B, C)
-    array where layout is irrelevant. One-pass E[x]/E[x^2] as before."""
+    array where layout is irrelevant. Moments are computed in shifted
+    one-pass form (see below) so the single-read fusion survives without
+    the E[x^2]-E[x]^2 cancellation hazard."""
     dt = x.dtype
     B, H, W, C = x.shape
     cg = C // groups
     xf = x.astype(jnp.float32).reshape(B, H * W, C)
-    s1 = jnp.sum(xf, axis=1)       # (B, C) — spatial partials, lane-dense
-    s2 = jnp.sum(xf * xf, axis=1)  # shares the single read of x with s1
+    # shifted one-pass moments: E[x^2]-E[x]^2 cancels catastrophically when
+    # |mean| >> std, so compute moments of (x - a) with `a` a per-group
+    # sample (first pixel of the group's first channel). Still a single
+    # read of x; the shift is a (B, 1, C) broadcast subtract in the same
+    # fused stats pass.
+    a = jnp.repeat(xf[:, 0, ::cg], cg, axis=1)[:, None, :]  # (B, 1, C)
+    y = xf - a
+    s1 = jnp.sum(y, axis=1)       # (B, C) — spatial partials, lane-dense
+    s2 = jnp.sum(y * y, axis=1)   # shares the single read of x with s1
     n = float(H * W * cg)
-    mean = s1.reshape(B, groups, cg).sum(-1) / n          # (B, G)
+    mean_s = s1.reshape(B, groups, cg).sum(-1) / n        # (B, G), shifted
     m2 = s2.reshape(B, groups, cg).sum(-1) / n
-    var = jnp.maximum(m2 - mean * mean, 0.0)
+    var = jnp.maximum(m2 - mean_s * mean_s, 0.0)
+    mean = mean_s + a[:, 0, ::cg]                          # unshift
     inv = jax.lax.rsqrt(var + eps)
     # per-group scalars back to per-channel (tiny), applied in one
     # elementwise pass over the native layout
@@ -140,10 +150,13 @@ def group_norm(p: Params, name: str, x: jax.Array, groups: int,
 def layer_norm(p: Params, name: str, x: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
+    # two-pass variance: the input is register/VMEM-resident here anyway and
+    # the one-pass E[x^2]-E[x]^2 form cancels catastrophically when
+    # |mean| >> std (all three formulations benchmark identically on v5e)
     mean = xf.mean(-1, keepdims=True)
-    m2 = (xf * xf).mean(-1, keepdims=True)
-    var = jnp.maximum(m2 - mean * mean, 0.0)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    d = xf - mean
+    var = (d * d).mean(-1, keepdims=True)
+    out = d * jax.lax.rsqrt(var + eps)
     out = out * p[name + ".weight"].astype(jnp.float32) + p[name + ".bias"].astype(
         jnp.float32
     )

@@ -72,6 +72,15 @@ def _kv_chunk(s: int, cap: int) -> int:
     a single-pass row-resident softmax, which is faster than the blockwise
     scheme — the flash structure is kept only for S beyond the VMEM cap."""
     bk = _pick_bk(s)
+    if bk > cap:
+        # the base block itself can exceed a quartered f32 cap (e.g.
+        # DKV_Q_CAP//4 = 256 while _pick_bk returns 512); drop to the
+        # largest divisor block that fits so the promised VMEM bound holds
+        # (any bk from _pick_bk is a multiple of 128, so one of these fits)
+        for b in (256, 128):
+            if b <= cap and s % b == 0:
+                bk = b
+                break
     c = bk
     while c * 2 <= min(s, cap) and s % (c * 2) == 0:
         c *= 2

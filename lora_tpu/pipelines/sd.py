@@ -188,6 +188,11 @@ class StableDiffusionPipeline:
     dtype: object = jnp.float32
     lora_unet: Optional[dict] = None
     lora_text: Optional[dict] = None
+    # bumped whenever the loaded adapters change by means other than
+    # tune_lora_scale (patch_pipe / apply_ti / remove_lora), so caches of
+    # adapter-dependent results — e.g. the serving embed LRU — can detect
+    # staleness that a (text, alpha) key alone would miss
+    adapter_generation: int = 0
 
     def __post_init__(self):
         if self.schedule is None:
@@ -261,6 +266,7 @@ class StableDiffusionPipeline:
                     self.lora_unet = lu
                 if lt is not None:
                     self.lora_text = lt
+                self.adapter_generation += 1
                 return {}  # kohya files carry no TI embeds
             loras = parse_safeloras(f)
             embeds = parse_safeloras_embeds(f)
@@ -274,6 +280,7 @@ class StableDiffusionPipeline:
                 weights, self.text_sites(set(target)))
         if patch_ti and embeds:
             self.apply_ti(embeds)
+        self.adapter_generation += 1
         return embeds
 
     def apply_ti(self, embeds: Dict[str, np.ndarray],
@@ -299,6 +306,7 @@ class StableDiffusionPipeline:
             table = table.at[tok_id].set(jnp.asarray(vec, table.dtype))
             self.text_params = {**self.text_params, key: table}
             applied.append(token)
+        self.adapter_generation += 1
         return applied
 
     def tune_lora_scale(self, alpha: float, text_alpha: Optional[float] = None):
@@ -312,6 +320,7 @@ class StableDiffusionPipeline:
         """monkeypatch_remove_lora equivalent (lora.py:812-847)."""
         self.lora_unet = None
         self.lora_text = None
+        self.adapter_generation += 1
 
     def quantize_base(self):
         """Serving memory lever: int8 per-channel base weights (~2x HBM

@@ -230,8 +230,13 @@ class PipelineServer:
             # embeddings depend on it (keying on the raw request value
             # served stale embeddings after an alpha change). Without a
             # text LoRA the embeddings are scale-independent — one entry.
-            key_alpha = (self._current_alpha
-                         if self.pipe.lora_text is not None else None)
+            # the adapter generation invalidates entries when the pipe's
+            # LoRA/TI weights change by means other than tune_lora_scale
+            # (e.g. patch_pipe on a live server swaps the adapter at the
+            # same alpha — the old embeddings are stale)
+            gen = getattr(self.pipe, "adapter_generation", 0)
+            key_alpha = ((gen, self._current_alpha)
+                         if self.pipe.lora_text is not None else (gen, None))
             emb = self._cached_embeds(prompts, key_alpha)
             neg = (self._cached_embeds([negative] * len(prompts), key_alpha)
                    if guidance > 1.0 else None)

@@ -186,14 +186,21 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             while True:
                 lat = [inst[r.randrange(len(inst))]
                        for _ in range(global_batch)]
+                is_inst = np.ones(global_batch, np.float32)
                 if cfg.with_prior_preservation:
                     lat += [cls_items[r.randrange(len(cls_items))]
                             for _ in range(global_batch)]
+                    is_inst = np.concatenate(
+                        [is_inst, np.zeros(global_batch, np.float32)])
                 if pc > 1:
                     per = len(lat) // pc
                     lat = lat[pi * per:(pi + 1) * per]
-                yield {"latents": np.stack([l for l, _ in lat]),
-                       "input_ids": np.stack([i for _, i in lat])}
+                    is_inst = is_inst[pi * per:(pi + 1) * per]
+                batch = {"latents": np.stack([l for l, _ in lat]),
+                         "input_ids": np.stack([i for _, i in lat])}
+                if cfg.with_prior_preservation:
+                    batch["is_instance"] = is_inst
+                yield batch
 
         loader = cached_db_loader()
     else:

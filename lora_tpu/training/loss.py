@@ -136,9 +136,29 @@ def loss_step(
     per_example = se.mean(axis=(1, 2, 3))
 
     if cfg.with_prior_preservation:
-        # batch = [instance | class] halves (train_lora_dreambooth.py:843-875)
-        half = bsz // 2
+        return prior_preserving_reduce(
+            per_example, batch.get("is_instance"), cfg.prior_loss_weight)
+    return per_example.mean()
+
+
+def prior_preserving_reduce(per_example: jax.Array,
+                            is_instance: Optional[jax.Array],
+                            prior_loss_weight: float) -> jax.Array:
+    """instance.mean() + w * class.mean() (train_lora_dreambooth.py:843-875).
+
+    The row layout is carried explicitly as `is_instance` (1.0 for instance
+    rows, 0.0 for class rows) because under multi-process the global batch is
+    assembled from per-process row blocks — [p0_inst, p0_class, p1_inst,
+    p1_class] — so a positional midpoint split would silently average class
+    rows into the instance term. Falls back to the midpoint split (valid for
+    the single-process [instance | class] collate) only when no mask is
+    given."""
+    if is_instance is not None:
+        m = is_instance.astype(jnp.float32)
+        inst = (per_example * m).sum() / m.sum()
+        prior = (per_example * (1.0 - m)).sum() / (1.0 - m).sum()
+    else:
+        half = per_example.shape[0] // 2
         inst = per_example[:half].mean()
         prior = per_example[half:].mean()
-        return inst + cfg.prior_loss_weight * prior
-    return per_example.mean()
+    return inst + prior_loss_weight * prior

@@ -101,6 +101,27 @@ def test_unknown_modules_raise(tmp_path):
         load_kohya(p2, unet_sites=USITES)
 
 
+def test_locon_mid_factor_raises(tmp_path):
+    """LoCon CP-decomposition adds '<site>.lora_mid.weight' to otherwise
+    known sites; loading up@down while dropping the mid factor would be
+    silently wrong weights, so the loader must reject the group loudly
+    (names the module) instead of partial-loading."""
+    lu, _ = make_loras(17)
+    p = str(tmp_path / "k.safetensors")
+    save_kohya(p, lora_unet=lu, unet_sites=USITES)
+    with SafetensorsFile(p) as f:
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
+    # attach a CP mid factor to a known attention site (LyCORIS layout)
+    site_key = kohya_key("unet", USITES[0].name)
+    tensors[site_key + ".lora_mid.weight"] = np.zeros((2, 2, 1, 1),
+                                                      np.float16)
+    p2 = str(tmp_path / "locon_cp.safetensors")
+    save_file(tensors, p2)
+    with pytest.raises(ValueError, match="lora_mid") as ei:
+        load_kohya(p2, unet_sites=USITES)
+    assert USITES[0].name.replace(".", "_") in str(ei.value)
+
+
 def test_patch_pipe_autodetects_kohya(tmp_path):
     """pipe.patch_pipe on a kohya-schema file routes through the kohya
     loader and produces the same deltas as the native format."""

@@ -149,3 +149,44 @@ def test_embed_cache_tracks_effective_alpha(server):
         pipe.lora_text = had_text
         pipe.tune_lora_scale(1.0)
         server._current_alpha = 1.0
+
+
+def test_embed_cache_invalidated_on_adapter_swap(server, tmp_path):
+    """patch_pipe on a live server at the SAME alpha must not serve the old
+    adapter's cached embeddings (regression: the LRU was keyed only by
+    (text, alpha) and went stale across adapter swaps)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lora_tpu.core.lora import init_lora, lora_to_pairs
+    from lora_tpu.formats.safetensors_io import (
+        TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+        save_safeloras_with_embeds,
+    )
+
+    pipe = server.pipe
+    had_text, had_unet = pipe.lora_text, pipe.lora_unet
+
+    def make_file(seed, bump):
+        sites = pipe.text_sites()
+        lt = init_lora(sites, r=2, rng=jax.random.PRNGKey(seed))
+        for e in lt["sites"].values():
+            e["up"] = e["up"] + bump
+        p = str(tmp_path / f"adapter{seed}.safetensors")
+        save_safeloras_with_embeds(
+            {"text_encoder": (lora_to_pairs(lt, sites),
+                              TEXT_ENCODER_DEFAULT_TARGET_REPLACE)}, {}, p)
+        return p
+
+    base = {"prompt": "swap probe", "steps": 2, "height": 64, "width": 64,
+            "seed": 3, "alpha": 1.0}
+    try:
+        pipe.patch_pipe(make_file(21, 0.05), patch_unet=False)
+        out1, _ = _post(server, base)
+        pipe.patch_pipe(make_file(22, -0.05), patch_unet=False)
+        out2, _ = _post(server, base)  # same text, same alpha, new adapter
+        assert out1["images"] != out2["images"]
+    finally:
+        pipe.lora_text, pipe.lora_unet = had_text, had_unet
+        pipe.adapter_generation += 1
+        server._current_alpha = 1.0

@@ -423,3 +423,74 @@ def test_multiprocess_batch_slicing(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="not\ndivisible|not divisible"):
         mesh_lib.shard_batch({"x": np.zeros((3, 2))}, mesh)
+
+
+def test_prior_loss_layout_independent(base):
+    """Uncached multihost prior preservation: each process collates a LOCAL
+    [inst | class] batch, so the assembled global batch is interleaved
+    [p0_inst, p0_class, p1_inst, p1_class]. The loss must follow the explicit
+    is_instance mask, not a positional midpoint split."""
+    from lora_tpu.training.loss import prior_preserving_reduce
+
+    # reduction semantics, deterministic: mask-driven split is exact and
+    # layout-independent; midpoint split over the interleaved layout is wrong
+    pe = jnp.array([1.0, 2.0, 10.0, 20.0, 3.0, 4.0, 30.0, 40.0])
+    m = jnp.array([1, 1, 0, 0, 1, 1, 0, 0], jnp.float32)  # interleaved
+    got = float(prior_preserving_reduce(pe, m, 0.5))
+    want = np.mean([1, 2, 3, 4]) + 0.5 * np.mean([10, 20, 30, 40])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # permutation invariance: any row layout with a matching mask agrees
+    perm = np.array([3, 6, 0, 5, 2, 7, 1, 4])
+    got_p = float(prior_preserving_reduce(pe[perm], m[perm], 0.5))
+    np.testing.assert_allclose(got_p, want, rtol=1e-6)
+    # the midpoint fallback on this interleaved layout would be wrong
+    bad = float(prior_preserving_reduce(pe, None, 0.5))
+    assert abs(bad - want) > 1.0
+
+    # end-to-end: loss_step with a contiguous mask equals the midpoint path
+    # on the same batch/rng (same slot order -> same noise pairing)
+    rng = jax.random.PRNGKey(3)
+    b = make_batch(bsz=4)
+    with_mask = dict(b)
+    with_mask["is_instance"] = jnp.array([1, 1, 0, 0], jnp.float32)
+    kw = loss_kwargs(base, cfg=LossConfig(with_prior_preservation=True,
+                                          prior_loss_weight=0.7))
+    trainable = make_trainable()
+    l_mask = loss_step(trainable, with_mask, rng, **kw)
+    l_mid = loss_step(trainable, b, rng, **kw)
+    np.testing.assert_allclose(float(l_mask), float(l_mid), rtol=1e-5)
+
+
+def test_prior_loaders_emit_is_instance(tmp_path):
+    """Both DreamBooth loaders carry the row-layout mask: the uncached
+    collate flags its local [inst | class] halves, and rows flagged 0 are
+    exactly the class rows (alignment, not just counts)."""
+    from PIL import Image
+
+    from lora_tpu.data.dataset import DreamBoothDataset, data_loader
+
+    inst_dir = tmp_path / "inst"
+    cls_dir = tmp_path / "cls"
+    inst_dir.mkdir()
+    cls_dir.mkdir()
+    for i in range(3):
+        Image.new("RGB", (32, 32), (255, 0, 0)).save(inst_dir / f"{i}.jpg")
+        Image.new("RGB", (32, 32), (0, 0, 255)).save(cls_dir / f"{i}.jpg")
+
+    class Tok:
+        model_max_length = 77
+
+        def __call__(self, texts, **kw):
+            return {"input_ids": [[49406, 320, 49407] for _ in texts]}
+
+    ds = DreamBoothDataset(
+        instance_data_root=str(inst_dir), instance_prompt="a sks thing",
+        tokenizer=Tok(), class_data_root=str(cls_dir),
+        class_prompt="a thing", size=32, center_crop=True)
+    batch = next(data_loader(ds, 2, prior_preservation=True, seed=0,
+                             shuffle=False))
+    np.testing.assert_array_equal(batch["is_instance"], [1, 1, 0, 0])
+    # instance images are red, class images blue — check channel alignment
+    px = batch["pixel_values"]  # normalized to [-1, 1]
+    red = px[..., 0].mean(axis=(1, 2)) > px[..., 2].mean(axis=(1, 2))
+    np.testing.assert_array_equal(red, batch["is_instance"].astype(bool))
