@@ -33,12 +33,23 @@ def ti_lora_path(path: str) -> str:
 
 
 def save_lora_pt(pairs: Sequence[Pair], path: str) -> None:
-    """Write the reference's flat interleaved fp16 list."""
+    """Write the reference's flat interleaved fp16 list.
+
+    Elements are stored as nn.Parameter: the reference's resume path
+    (inject_trainable_lora(loras=path), lora.py:301-303) assigns list items
+    RAW to a Parameter attribute, which torch only accepts for Parameters —
+    plain-tensor lists (what the reference's own save emits from a CUDA
+    model) crash its loader. Parameter elements load cleanly through both
+    its inject-resume and monkeypatch paths, and through load_lora_pt."""
     torch = _torch()
     weights = []
     for up, down in pairs:
-        weights.append(torch.from_numpy(np.asarray(up, dtype=np.float16)))
-        weights.append(torch.from_numpy(np.asarray(down, dtype=np.float16)))
+        weights.append(torch.nn.Parameter(
+            torch.from_numpy(np.asarray(up, dtype=np.float16)),
+            requires_grad=False))
+        weights.append(torch.nn.Parameter(
+            torch.from_numpy(np.asarray(down, dtype=np.float16)),
+            requires_grad=False))
     torch.save(weights, path)
 
 
