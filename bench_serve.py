@@ -4,7 +4,12 @@ training headline).
 
 Prints one JSON line:
   {"metric": "serving", "single_latency_s": ..., "throughput": {bs: imgs/s},
-   "multi_lora_throughput": {bs: imgs/s}}
+   "multi_lora_throughput": {bs: imgs/s},
+   "offered_load": {"offered_rps": ..., "p50_s": ..., "p95_s": ...}}
+
+The offered_load section drives the REAL PipelineServer (HTTP + deadline-
+aware micro-batching) with uniform arrivals at 80% of the measured bs-8
+capacity and reports client-observed p50/p95 latency plus the shed count.
 
 Measures the real pipeline object (random weights — identical compute graph
 to trained SD-1.5 weights): 50-step CFG sampling, bf16, 512px, Pallas flash
@@ -45,6 +50,66 @@ def _run(pipe, prompts, rng, lora_idx=None, output_type="device"):
     # end-to-end rows measure output_type="np" separately
     return pipe(prompts, num_inference_steps=STEPS, guidance_scale=7.5,
                 rng=rng, lora_idx=lora_idx, output_type=output_type)
+
+
+def _offered_load(pipe, rate_rps: float, n: int = 20,
+                  warm_frac: float = 0.25) -> dict:
+    """Client-observed latency through the real HTTP server at a stated
+    offered load (uniform arrivals). The first `warm_frac` of requests are
+    treated as warmup (odd coalesced batch sizes may still compile) and
+    excluded from the percentiles."""
+    import threading
+    import urllib.request
+
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(pipe, port=0, max_batch=8, max_queue=64).start()
+    results = [None] * n
+    try:
+        def post(i):
+            payload = {"prompt": f"a photo of sks dog {i % 4}",
+                       "steps": STEPS, "seed": i}
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/generate",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=1200) as r:
+                    json.loads(r.read())
+                results[i] = time.perf_counter() - t0
+            except Exception:
+                results[i] = "shed"
+
+        post(0)  # compile bs-1 through the server path
+        start = time.perf_counter()
+        threads = []
+        for i in range(n):
+            delay = start + i / rate_rps - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            t = threading.Thread(target=post, args=(i,))
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - start
+    finally:
+        srv.stop()
+
+    lats = sorted(r for r in results[int(n * warm_frac):]
+                  if isinstance(r, float))
+    shed = sum(1 for r in results if r == "shed") + srv.shed_count
+    if not lats:
+        return {"offered_rps": round(rate_rps, 3), "error": "all shed"}
+    return {
+        "offered_rps": round(rate_rps, 3),
+        "achieved_rps": round((n - shed) / wall, 3),
+        "p50_s": round(lats[len(lats) // 2], 3),
+        "p95_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
+        "shed": shed,
+        "n": n,
+    }
 
 
 def main():
@@ -100,6 +165,11 @@ def main():
             best = max(best, bs / (time.perf_counter() - t0))
         mthr[str(bs)] = round(best, 2)
     out["multi_lora_throughput_imgs_per_s"] = mthr
+
+    # offered-load p50/p95 through the real server at 80% of bs-8 capacity
+    pipe.lora_unet = init_lora(sites, r=4, rng=jax.random.PRNGKey(1))
+    rate = 0.8 * max(thr.values())
+    out["offered_load"] = _offered_load(pipe, rate)
 
     print(json.dumps(out))
 

@@ -4,14 +4,18 @@ Wraps a StableDiffusionPipeline behind an HTTP API (stdlib-only):
 
   POST /generate   {"prompt": str | [str], "steps": int, "guidance": float,
                     "height": int, "width": int, "seed": int,
-                    "scheduler": str, "alpha": float, "lora_idx": [int]}
+                    "scheduler": str, "alpha": float, "lora_idx": [int],
+                    "deadline_ms": float}
                    -> {"images": [base64 PNG, ...], "latency_ms": float,
                        "batched_with": int}
+                   -> 503 {"error": ...} when the queue is at max_queue
   GET  /healthz    -> {"ok": true, "devices": [...]}
 
 Concurrent requests with the same sampling config (steps/guidance/size/
 scheduler/alpha) are MICRO-BATCHED: a worker thread coalesces them (up to
-`max_batch`, within `batch_window_ms`) into one device batch — each request
+`max_batch`, within `batch_window_ms`, cut early when a member's
+`deadline_ms` budget minus the EWMA-estimated batch execution time is about
+to be spent) into one device batch — each request
 keeps its own prompt, seed-derived latents, and `lora_idx` adapter routing.
 Measured batch scaling (PERF.md): ~1.45x image throughput at bs 8 vs bs 1,
 so coalescing converts concurrency into throughput with no quality change.
@@ -42,6 +46,11 @@ def _png_b64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class ServerOverloaded(Exception):
+    """Queue bound exceeded — shed with HTTP 503 instead of queueing into
+    certain deadline misses."""
+
+
 class _Pending:
     """One enqueued request awaiting its slot in a micro-batch."""
 
@@ -51,6 +60,10 @@ class _Pending:
         self.images = None
         self.error: Optional[Exception] = None
         self.batched_with = 1
+        self.t0 = time.monotonic()
+        # absolute latency budget; None = no deadline (fixed-window only)
+        d = req.get("deadline_ms")
+        self.deadline = self.t0 + float(d) / 1000.0 if d is not None else None
 
     def key(self):
         r = self.req
@@ -64,11 +77,18 @@ class _Pending:
 class PipelineServer:
     def __init__(self, pipe, host: str = "127.0.0.1", port: int = 8500,
                  max_batch: int = 8, batch_window_ms: float = 25.0,
-                 embed_cache_size: int = 256):
+                 embed_cache_size: int = 256, max_queue: int = 32):
         self.pipe = pipe
         self.lock = threading.Lock()
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        # backpressure: requests beyond this depth are shed with 503 rather
+        # than queued into certain deadline misses
+        self.max_queue = max_queue
+        self.shed_count = 0
+        # EWMA of recent batch execution seconds — the deadline-aware
+        # coalescer's estimate of how long a batch will take once cut
+        self._exec_ewma: Optional[float] = None
         # LRU prompt -> text-embedding cache: repeated prompts (and the
         # shared negative prompt) skip tokenize + CLIP forward entirely.
         # Keyed by (text, alpha) — with a text-encoder LoRA patched, the
@@ -118,6 +138,8 @@ class PipelineServer:
                     req = json.loads(self.rfile.read(n) or b"{}")
                     out = server_self.generate(req)
                     self._send(200, out)
+                except ServerOverloaded as e:
+                    self._send(503, {"error": str(e)})
                 except Exception as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -127,6 +149,11 @@ class PipelineServer:
 
     def generate(self, req: dict) -> dict:
         t0 = time.perf_counter()
+        if self._queue.qsize() >= self.max_queue:
+            self.shed_count += 1
+            raise ServerOverloaded(
+                f"queue depth {self._queue.qsize()} >= max_queue "
+                f"{self.max_queue}; retry with backoff")
         pending = _Pending(req)
         self._queue.put(pending)
         pending.done.wait()
@@ -137,17 +164,31 @@ class PipelineServer:
                 "batched_with": pending.batched_with}
 
     # -- micro-batching worker ----------------------------------------------
+    def _window_remaining(self, group, window_end: float) -> float:
+        """Seconds the coalescer may still wait: the fixed window, cut
+        early when any member's latency budget minus the EWMA-estimated
+        batch execution time is nearly spent. Deadline-less requests fall
+        back to the fixed window alone."""
+        w = window_end - time.monotonic()
+        est = self._exec_ewma or 0.0
+        for p in group:
+            if p.deadline is not None:
+                w = min(w, p.deadline - est - time.monotonic())
+        return w
+
     def _collect(self) -> list:
         """Block for one request, then coalesce same-config arrivals within
-        the window (a config mismatch is spilled to seed the next batch)."""
+        the window (a config mismatch is spilled to seed the next batch).
+        The window is deadline-aware: the batch is cut as soon as waiting
+        longer would spend a member's remaining latency budget."""
         import queue
 
         first = self._spill or self._queue.get()
         self._spill = None
         group = [first]
-        deadline = time.monotonic() + self.batch_window
+        window_end = time.monotonic() + self.batch_window
         while len(group) < self.max_batch:
-            remaining = deadline - time.monotonic()
+            remaining = self._window_remaining(group, window_end)
             if remaining <= 0:
                 break
             try:
@@ -161,11 +202,17 @@ class PipelineServer:
                 break
         return group
 
+    def _note_exec_time(self, seconds: float) -> None:
+        self._exec_ewma = (seconds if self._exec_ewma is None
+                           else 0.3 * seconds + 0.7 * self._exec_ewma)
+
     def _drain(self):
         while True:
             group = self._collect()
+            t0 = time.monotonic()
             try:
                 self._run_group(group)
+                self._note_exec_time(time.monotonic() - t0)
             except Exception as e:
                 for p in group:
                     p.error = e
@@ -277,6 +324,9 @@ def main():
     ap.add_argument("--lora", default=None)
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--batch_window_ms", type=float, default=25.0)
+    ap.add_argument("--max_queue", type=int, default=32)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -289,7 +339,9 @@ def main():
         pipe.patch_pipe(args.lora)
     if args.quantize:
         pipe.quantize_base()
-    srv = PipelineServer(pipe, port=args.port).start()
+    srv = PipelineServer(pipe, port=args.port, max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms,
+                         max_queue=args.max_queue).start()
     print(f"serving on :{srv.port}")
     srv.thread.join()
 

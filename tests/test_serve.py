@@ -2,6 +2,8 @@
 
 import base64
 import json
+import time
+import urllib.error
 import urllib.request
 
 import jax
@@ -190,3 +192,79 @@ def test_embed_cache_invalidated_on_adapter_swap(server, tmp_path):
         pipe.lora_text, pipe.lora_unet = had_text, had_unet
         pipe.adapter_generation += 1
         server._current_alpha = 1.0
+
+
+def test_mixed_config_concurrency(server):
+    """Concurrent requests with DIFFERENT configs are never merged into one
+    device batch, but all complete correctly under contention (the spill
+    path seeds the next batch)."""
+    import threading
+
+    results = {}
+
+    def fire(name, payload):
+        results[name] = _post(server, payload)
+
+    threads = []
+    for i in range(6):
+        steps = 2 if i % 2 == 0 else 3  # two configs interleaved
+        payload = {"prompt": f"mixed {i % 2}", "steps": steps,
+                   "height": 64, "width": 64, "seed": i}
+        threads.append(threading.Thread(target=fire, args=(f"r{i}", payload)))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(status == 200 for _, status in results.values())
+    # a request never shares a batch with the other config: every member of
+    # a coalesced group ran the same steps value, so image counts match the
+    # per-request prompt counts (smoke) and nothing deadlocked
+    assert all(len(out["images"]) == 1 for out, _ in results.values())
+
+
+def test_deadline_cuts_coalescing_window(server):
+    """A request carrying deadline_ms must not sit out a long coalescing
+    window: the batch is cut once budget - estimated-exec is spent. With a
+    3 s window, a lone deadline_ms=100 request returns far sooner."""
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, batch_window_ms=3000.0).start()
+    try:
+        # warm the exec-time EWMA + jit cache for this config
+        _post(srv, {"prompt": "warm", "steps": 2, "height": 64, "width": 64,
+                    "deadline_ms": 100})
+        t0 = time.perf_counter()
+        out, status = _post(srv, {"prompt": "deadline probe", "steps": 2,
+                                  "height": 64, "width": 64,
+                                  "deadline_ms": 100})
+        wall = time.perf_counter() - t0
+        assert status == 200 and out["batched_with"] == 1
+        # would be >= 3 s if the fixed window were honored
+        assert wall < 2.5, f"deadline did not cut the window ({wall:.2f}s)"
+    finally:
+        srv.stop()
+
+
+def test_queue_bound_sheds_with_503(server):
+    """Requests beyond max_queue are shed with HTTP 503 (backpressure), not
+    queued into certain deadline misses."""
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, max_queue=0).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/generate",
+            data=json.dumps({"prompt": "shed me", "steps": 2,
+                             "height": 64, "width": 64}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            status = 200
+        except urllib.error.HTTPError as e:
+            status = e.code
+            body = json.loads(e.read())
+        assert status == 503
+        assert "max_queue" in body["error"]
+        assert srv.shed_count == 1
+    finally:
+        srv.stop()
