@@ -17,8 +17,10 @@ import numpy as np
 
 
 def main():
+    from _common import add_pipe_args, load_pipe
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    add_pipe_args(ap)
     ap.add_argument("--lora", required=True)
     ap.add_argument("--prompt", default="a photo")
     ap.add_argument("--steps", type=int, default=50)
@@ -28,18 +30,19 @@ def main():
     ap.add_argument("--out", default="alpha_sweep.png")
     args = ap.parse_args()
 
-    from lora_tpu.pipelines.sd import StableDiffusionPipeline
     from lora_tpu.utils.eval import image_grid, to_pil
 
-    pipe = StableDiffusionPipeline.from_pretrained(args.model)
+    pipe = load_pipe(args)
     pipe.patch_pipe(args.lora)
-    latents = pipe.prepare_latents(1, 512, 512, jax.random.PRNGKey(args.seed))
+    latents = pipe.prepare_latents(1, args.size, args.size,
+                                   jax.random.PRNGKey(args.seed))
 
     frames = []
     for alpha in [float(a) for a in args.alphas.split(",")]:
         pipe.tune_lora_scale(alpha)
         img = pipe(args.prompt, num_inference_steps=args.steps,
-                   guidance_scale=args.guidance, latents=latents)
+                   guidance_scale=args.guidance, latents=latents,
+                   height=args.size, width=args.size)
         frames.append(to_pil(img[0]))
         print(f"alpha={alpha} done")
     image_grid(frames, rows=1).save(args.out)

@@ -18,8 +18,10 @@ from PIL import Image
 
 
 def main():
+    from _common import add_pipe_args, load_pipe
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    add_pipe_args(ap)
     ap.add_argument("--lora", required=True)
     ap.add_argument("--image", required=True)
     ap.add_argument("--prompt", default="a photo")
@@ -30,14 +32,14 @@ def main():
     ap.add_argument("--out", default="img2img.png")
     args = ap.parse_args()
 
-    from lora_tpu.pipelines.sd import StableDiffusionPipeline
     from lora_tpu.utils.eval import to_pil
 
-    pipe = StableDiffusionPipeline.from_pretrained(args.model)
+    pipe = load_pipe(args)
     pipe.patch_pipe(args.lora)
     pipe.tune_lora_scale(args.alpha_unet, text_alpha=args.alpha_text)
 
-    img = Image.open(args.image).convert("RGB").resize((512, 512))
+    img = Image.open(args.image).convert("RGB").resize(
+        (args.size, args.size))
     init = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
     out = pipe.img2img(args.prompt, init, strength=args.strength,
                        num_inference_steps=args.steps,

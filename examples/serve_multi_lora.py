@@ -17,8 +17,10 @@ import jax
 
 
 def main():
+    from _common import add_pipe_args, load_pipe
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    add_pipe_args(ap)
     ap.add_argument("--loras", required=True, help="comma-separated files")
     ap.add_argument("--prompts", required=True, help="pipe-separated")
     ap.add_argument("--route", required=True,
@@ -29,10 +31,9 @@ def main():
 
     from lora_tpu.core.lora import lora_from_flat, stack_loras
     from lora_tpu.formats.safetensors_io import load_safeloras
-    from lora_tpu.pipelines.sd import StableDiffusionPipeline
     from lora_tpu.utils.eval import image_grid, to_pil
 
-    pipe = StableDiffusionPipeline.from_pretrained(args.model)
+    pipe = load_pipe(args)
     adapters = []
     for path in args.loras.split(","):
         w, ranks, target = load_safeloras(path)["unet"]
@@ -43,7 +44,8 @@ def main():
     route = [int(i) for i in args.route.split(",")]
     assert len(prompts) == len(route)
     imgs = pipe(prompts, num_inference_steps=args.steps,
-                rng=jax.random.PRNGKey(0), lora_idx=route)
+                rng=jax.random.PRNGKey(0), lora_idx=route,
+                height=args.size, width=args.size)
     image_grid([to_pil(im) for im in imgs], rows=1).save(args.out)
     print(f"served {len(prompts)} prompts across {len(adapters)} adapters "
           f"in one batch -> {args.out}")

@@ -14,8 +14,10 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from _common import add_pipe_args, load_pipe
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True)
+    add_pipe_args(ap)
     ap.add_argument("--checkpoints", required=True,
                     help="glob over step_*.safetensors")
     ap.add_argument("--prompt", required=True)
@@ -23,12 +25,12 @@ def main():
     ap.add_argument("--out", default="progress.png")
     args = ap.parse_args()
 
-    from lora_tpu.pipelines.sd import StableDiffusionPipeline
     from lora_tpu.utils.eval import image_grid, visualize_progress
 
-    pipe = StableDiffusionPipeline.from_pretrained(args.model)
+    pipe = load_pipe(args)
     imgs = visualize_progress(args.checkpoints, args.prompt, pipe,
-                              num_inference_steps=args.steps)
+                              num_inference_steps=args.steps,
+                              height=args.size, width=args.size)
     image_grid(imgs).save(args.out)
     print(f"saved {args.out}")
 

@@ -197,6 +197,8 @@ def visualize_progress(
     guidance_scale: float = 5.0,
     offset: int = 0,
     limit: int = 10,
+    height: int = 512,
+    width: int = 512,
 ) -> List[Image.Image]:
     """Render the same prompt/seed across checkpoint history
     (reference utils.py:166-214)."""
@@ -209,6 +211,7 @@ def visualize_progress(
         pipe.patch_pipe(ckpt)
         out = pipe(prompt, num_inference_steps=num_inference_steps,
                    guidance_scale=guidance_scale,
-                   rng=jax.random.PRNGKey(seed))
+                   rng=jax.random.PRNGKey(seed),
+                   height=height, width=width)
         imgs.append(to_pil(out[0]))
     return imgs
