@@ -333,8 +333,11 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                         raise FloatingPointError(
                             f"non-finite loss at step {global_step} — check LR "
                             "(reference guidance: ~1e-4 for LoRA) / data")
-                    log.log(step=global_step, loss=lf,
-                            sps=global_step / (time.perf_counter() - t_start))
+                    kw = dict(step=global_step, loss=lf)
+                    if global_step > 1:  # step 1's window is compile-warped
+                        kw["sps"] = global_step / (time.perf_counter()
+                                                   - t_start)
+                    log.log(**kw)
                 if cfg.save_steps and global_step % cfg.save_steps == 0:
                     save(str(global_step))
                     if cfg.save_train_state:

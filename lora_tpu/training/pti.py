@@ -337,8 +337,12 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
                             raise FloatingPointError(
                                 f"non-finite loss in {phase_name} at step "
                                 f"{global_step}")
-                        log.log(phase=phase_name, step=global_step, loss=lf,
-                                sps=global_step / (time.perf_counter() - t0))
+                        kw = dict(phase=phase_name, step=global_step,
+                                  loss=lf)
+                        if global_step > 1:  # step 1 is compile-warped
+                            kw["sps"] = global_step / (time.perf_counter()
+                                                       - t0)
+                        log.log(**kw)
                     if cfg.save_steps and global_step % cfg.save_steps == 0:
                         save_fn(trainable, global_step)
                 if global_step >= steps:
