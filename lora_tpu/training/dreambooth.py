@@ -276,10 +276,21 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         from ..pipelines.sd import _jit_text_encode
 
         def embed_ids(ids_batch):
-            key = ids_batch.tobytes()
+            if (isinstance(ids_batch, jax.Array)
+                    and not ids_batch.is_fully_addressable):
+                # multi-process: the prefetched ids span non-addressable
+                # devices, so key/encode on THIS process's local rows (in
+                # global row order) — the resulting local embedding rows go
+                # back through shard_batch's process-local assembly
+                shards = sorted(ids_batch.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                ids_batch = np.concatenate(
+                    [np.asarray(s.data) for s in shards])
+            ids_np = np.asarray(ids_batch)
+            key = ids_np.tobytes()
             if key not in text_emb_cache:
                 text_emb_cache[key] = _jit_text_encode(
-                    pipe.text_params, jnp.asarray(ids_batch), pipe.text_cfg,
+                    pipe.text_params, jnp.asarray(ids_np), pipe.text_cfg,
                     None, dtype)
             return text_emb_cache[key]
 
