@@ -380,6 +380,77 @@ def test_scale_and_diag_match_reference(ref):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_lora_join_matches_reference(ref, tmp_path):
+    """Multi-LoRA join: repo lora_join vs the reference's lora_join
+    (lora_manager.py:13-72) on the same two repo-authored files — identical
+    tensor keys/values (rank-concat on the right axes), rank metadata,
+    ranklist, and the <s{i}-{j}> TI token renaming."""
+    import json as _json
+    import types
+
+    # lora_manager.py imports diffusers (unused by lora_join) and .lora —
+    # give it a package context + a stub so it loads without diffusers
+    pkg = types.ModuleType("_refldm")
+    pkg.__path__ = [REF_DIR]
+    sys.modules["_refldm"] = pkg
+    _load("_refldm.lora", "lora.py")
+    had = sys.modules.get("diffusers")
+    stub = types.ModuleType("diffusers")
+    stub.StableDiffusionPipeline = object
+    sys.modules["diffusers"] = stub
+    try:
+        ref_mgr = _load("_refldm.lora_manager", "lora_manager.py")
+    finally:
+        if had is None:
+            sys.modules.pop("diffusers", None)
+        else:
+            sys.modules["diffusers"] = had
+
+    from lora_tpu.formats.safetensors_io import safe_open as repo_open
+    from lora_tpu.lora_manager import lora_join as repo_join
+
+    rng = np.random.default_rng(5)
+    model = ToyUNet()
+    shapes = _ref_order_shapes(ref, model, TARGETS, [nn.Linear])
+    paths = []
+    for n, r in enumerate((2, 3)):  # different ranks per file
+        pairs = [(rng.normal(0, 0.2, (o, r)).astype(np.float32),
+                  rng.normal(0, 0.2, (r, i)).astype(np.float32))
+                 for o, i in shapes]
+        ti = {f"<tok{n}a>": rng.normal(0, 0.02, (CTX,)).astype(np.float32),
+              f"<tok{n}b>": rng.normal(0, 0.02, (CTX,)).astype(np.float32)}
+        p = str(tmp_path / f"join{n}.safetensors")
+        save_safeloras_with_embeds({"unet": (pairs, TARGETS)}, ti, p,
+                                   cast_fp16=False)
+        paths.append(p)
+
+    handles = [repo_open(p) for p in paths]
+    try:
+        got_t, got_m, got_ranks, got_tok = repo_join(handles)
+    finally:
+        for h in handles:
+            h.close()
+
+    from safetensors import safe_open as st_open
+
+    ref_handles = [st_open(p, framework="pt") for p in paths]
+    want_t, want_m, want_ranks, want_tok = ref_mgr.lora_join(ref_handles)
+
+    assert got_ranks == want_ranks == [2, 3]
+    assert got_tok == want_tok == [2, 2]
+    assert set(got_t) == set(want_t)
+    for k in want_t:
+        np.testing.assert_allclose(
+            np.asarray(got_t[k], np.float32),
+            want_t[k].detach().float().numpy(), rtol=2e-3, atol=2e-3)
+    assert set(got_m) == set(want_m)
+    for k in want_m:
+        if k == "unet":  # target set serialized as a json list — order-free
+            assert set(_json.loads(got_m[k])) == set(_json.loads(want_m[k]))
+        else:
+            assert got_m[k] == want_m[k], k
+
+
 # ---------------------------------------------------------------------------
 # (d) CompVis key maps vs to_ckpt_v2
 # ---------------------------------------------------------------------------
