@@ -27,6 +27,10 @@ def train(pretrained_model_name_or_path: str = "", device: str = "tpu",
 
 
 def main():
+    # join a lora_launch process group if one is configured
+    from ..parallel.mesh import initialize_distributed_from_env
+
+    initialize_distributed_from_env()
     fire(train)
 
 

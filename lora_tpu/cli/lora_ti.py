@@ -22,6 +22,10 @@ def train(pretrained_model_name_or_path: str = "",
 
 
 def main():
+    # join a lora_launch process group if one is configured
+    from ..parallel.mesh import initialize_distributed_from_env
+
+    initialize_distributed_from_env()
     fire(train)
 
 

@@ -35,6 +35,33 @@ def initialize_distributed(**kwargs) -> None:
         pass  # already initialized or single-process
 
 
+def initialize_distributed_from_env() -> bool:
+    """Join the process group described by ``lora_tpu.launch``'s environment
+    (LORA_TPU_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID) — the torchrun /
+    `accelerate launch` handshake, called by the trainer CLIs before first
+    jax use. Returns True when a multi-process group was joined. On TPU
+    pods with no launcher env this is a no-op: jax.distributed.initialize()
+    without args already auto-discovers the pod topology when needed.
+
+    LORA_TPU_PLATFORM=cpu additionally pins the CPU backend in-process
+    (rehearsal mode: this environment's sitecustomize clobbers JAX_PLATFORMS
+    env overrides, so the launcher can't use the env var)."""
+    import os
+
+    platform = os.environ.get("LORA_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    coord = os.environ.get("LORA_TPU_COORDINATOR")
+    if not coord:
+        return False
+    initialize_distributed(
+        coordinator_address=coord,
+        num_processes=int(os.environ["LORA_TPU_NUM_PROCESSES"]),
+        process_id=int(os.environ["LORA_TPU_PROCESS_ID"]),
+    )
+    return jax.process_count() > 1
+
+
 def make_mesh(
     dp: int = -1, fsdp: int = 1, tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,

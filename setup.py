@@ -22,6 +22,7 @@ setup(
             "lora_ti = lora_tpu.cli.lora_ti:main",
             "lora_serve = lora_tpu.serve:main",
             "lora_kohya = lora_tpu.cli.kohya_convert:main",
+            "lora_launch = lora_tpu.launch:main",
         ],
     },
     python_requires=">=3.10",
