@@ -55,9 +55,10 @@ def _run(pipe, prompts, rng, lora_idx=None, output_type="device"):
 def _offered_load(pipe, rate_rps: float, n: int = 20,
                   warm_frac: float = 0.25) -> dict:
     """Client-observed latency through the real HTTP server at a stated
-    offered load (uniform arrivals). The first `warm_frac` of requests are
-    treated as warmup (odd coalesced batch sizes may still compile) and
-    excluded from the percentiles."""
+    offered load (uniform arrivals), after srv.warmup() has compiled every
+    bucket shape (deploy-time warmup — its cost is reported separately as
+    warmup_s). The first `warm_frac` of requests are still excluded from
+    the percentiles to drop scheduler ramp-up."""
     import threading
     import urllib.request
 
@@ -65,6 +66,7 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
 
     srv = PipelineServer(pipe, port=0, max_batch=8, max_queue=64).start()
     results = [None] * n
+    warm_s = srv.warmup(steps=STEPS)  # compile all bucket shapes up front
     try:
         def post(i):
             payload = {"prompt": f"a photo of sks dog {i % 4}",
@@ -81,7 +83,6 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
             except Exception:
                 results[i] = "shed"
 
-        post(0)  # compile bs-1 through the server path
         start = time.perf_counter()
         threads = []
         for i in range(n):
@@ -104,6 +105,7 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
         return {"offered_rps": round(rate_rps, 3), "error": "all shed"}
     return {
         "offered_rps": round(rate_rps, 3),
+        "warmup_s": round(warm_s, 1),
         "achieved_rps": round((n - shed) / wall, 3),
         "p50_s": round(lats[len(lats) // 2], 3),
         "p95_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),

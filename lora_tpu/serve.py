@@ -15,7 +15,8 @@ Concurrent requests with the same sampling config (steps/guidance/size/
 scheduler/alpha) are MICRO-BATCHED: a worker thread coalesces them (up to
 `max_batch`, within `batch_window_ms`, cut early when a member's
 `deadline_ms` budget minus the EWMA-estimated batch execution time is about
-to be spent) into one device batch — each request
+to be spent) into one device batch, padded up to a power-of-two bucket so
+only len(batch_buckets) XLA programs ever compile — each request
 keeps its own prompt, seed-derived latents, and `lora_idx` adapter routing.
 Measured batch scaling (PERF.md): ~1.45x image throughput at bs 8 vs bs 1,
 so coalescing converts concurrency into throughput with no quality change.
@@ -77,11 +78,19 @@ class _Pending:
 class PipelineServer:
     def __init__(self, pipe, host: str = "127.0.0.1", port: int = 8500,
                  max_batch: int = 8, batch_window_ms: float = 25.0,
-                 embed_cache_size: int = 256, max_queue: int = 32):
+                 embed_cache_size: int = 256, max_queue: int = 32,
+                 batch_buckets: Optional[tuple] = None):
         self.pipe = pipe
         self.lock = threading.Lock()
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        # allowed device batch sizes (see _run_group); default: powers of
+        # two up to max_batch, bounding the compiled-program count
+        if batch_buckets is None:
+            batch_buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64)
+                                  if b <= max_batch)
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self.last_device_batch = 0
         # backpressure: requests beyond this depth are shed with 503 rather
         # than queued into certain deadline misses
         self.max_queue = max_queue
@@ -266,6 +275,20 @@ class PipelineServer:
                 lora_idx = None
         guidance = float(r0.get("guidance", 7.5))
         negative = r0.get("negative_prompt", "")
+        # batch-size bucketing: XLA compiles one program per batch size, and
+        # a cold compile of an odd coalesced size (3, 5, 6, 7...) stalls the
+        # whole line for minutes on first occurrence. Pad to the next bucket
+        # (replicating the last row; its outputs are discarded) so only
+        # len(buckets) shapes ever compile.
+        n_real = len(prompts)
+        bucket = next((b for b in self.batch_buckets if b >= n_real), n_real)
+        self.last_device_batch = bucket
+        pad = bucket - n_real
+        if pad:
+            prompts += [prompts[-1]] * pad
+            latents.append(jnp.repeat(latents[-1][-1:], pad, axis=0))
+            if lora_idx is not None:
+                lora_idx += [lora_idx[-1]] * pad
         with self.lock:
             alpha = r0.get("alpha")
             if alpha is not None:
@@ -302,6 +325,22 @@ class PipelineServer:
         for p, n in zip(group, counts):
             p.images = imgs[off:off + n]
             off += n
+
+    def warmup(self, steps: int = 30, height: int = 512, width: int = 512,
+               guidance: float = 7.5, scheduler: str = "ddim") -> float:
+        """Compile every bucketed batch shape up front (deploy-time warmup)
+        so no live request ever pays an XLA compile — with bucketing this is
+        a BOUNDED set of programs, which is the point of the buckets. Call
+        once per distinct sampling config you intend to serve. Returns the
+        wall seconds spent."""
+        t0 = time.monotonic()
+        for b in self.batch_buckets:
+            group = [_Pending({"prompt": f"warmup {i}", "steps": steps,
+                               "height": height, "width": width,
+                               "guidance": guidance, "scheduler": scheduler,
+                               "seed": i}) for i in range(b)]
+            self._run_group(group)
+        return time.monotonic() - t0
 
     def start(self):
         self.thread = threading.Thread(target=self.httpd.serve_forever,

@@ -268,3 +268,58 @@ def test_queue_bound_sheds_with_503(server):
         assert srv.shed_count == 1
     finally:
         srv.stop()
+
+
+def test_batch_bucketing_pads_device_batch(server):
+    """Coalesced groups are padded to the next power-of-two bucket so only
+    len(batch_buckets) XLA programs ever compile — an odd group size must
+    run as the next bucket while each request still gets its own image."""
+    import threading
+
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, batch_window_ms=1500.0).start()
+    try:
+        results = {}
+
+        def fire(name, seed):
+            results[name] = _post(srv, {"prompt": "bucket probe",
+                                        "steps": 2, "height": 64,
+                                        "width": 64, "seed": seed})
+
+        # exactly 3 concurrent requests land inside the 1.5 s window ->
+        # one group of 3 -> padded to the 4-bucket
+        followers = [threading.Thread(target=fire, args=(f"f{i}", i + 1))
+                     for i in range(3)]
+        for t in followers:
+            t.start()
+        for t in followers:
+            t.join()
+
+        assert all(s == 200 for _, s in results.values())
+        sizes = {k: out["batched_with"] for k, (out, _) in results.items()}
+        assert max(sizes.values()) == 3, sizes
+        assert srv.last_device_batch == 4  # padded to the bucket
+        # distinct seeds -> distinct images even with pad rows present
+        f_imgs = {k: results[k][0]["images"][0] for k in ("f0", "f1", "f2")}
+        assert len(set(f_imgs.values())) == 3
+    finally:
+        srv.stop()
+
+
+def test_warmup_compiles_all_buckets(server):
+    """Deploy-time warmup runs one group per bucket size so no live request
+    pays an XLA compile; subsequent single requests reuse the compiled
+    shapes."""
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, max_batch=4).start()
+    try:
+        secs = srv.warmup(steps=2, height=64, width=64)
+        assert secs > 0 and srv.batch_buckets == (1, 2, 4)
+        assert srv.last_device_batch == 4  # largest bucket ran last
+        out, status = _post(srv, {"prompt": "after warmup", "steps": 2,
+                                  "height": 64, "width": 64})
+        assert status == 200 and len(out["images"]) == 1
+    finally:
+        srv.stop()
