@@ -42,11 +42,15 @@ def _crop_to_square(img: Image.Image, com: Tuple[float, float],
     (preprocess_files.py:216-241)."""
     cx, cy = com
     w, h = img.size
+    # the crop box stays FLOAT: PIL rounds it internally, and the reference
+    # passes floats too (preprocess_files.py:221-229) — pre-truncating with
+    # int() shifted every crop by up to a pixel vs the reference
+    # (caught by tests/test_reference_interop.py)
     if w > h:
-        left = int(np.clip(cx - h / 2, 0, w - h))
+        left = min(max(cx - h / 2, 0), w - h)
         img = img.crop((left, 0, left + h, h))
     elif h > w:
-        top = int(np.clip(cy - w / 2, 0, h - w))
+        top = min(max(cy - w / 2, 0), h - w)
         img = img.crop((0, top, w, top + w))
     if resize_to:
         img = img.resize((resize_to, resize_to), Image.LANCZOS)

@@ -451,6 +451,52 @@ def test_lora_join_matches_reference(ref, tmp_path):
             assert got_m[k] == want_m[k], k
 
 
+def test_preprocess_geometry_matches_reference(tmp_path):
+    """Salience crop geometry vs the live reference: _center_of_mass and
+    _crop_to_square (preprocess_files.py:203-241) drive where every dataset
+    image gets cropped — repo data/preprocess.py must agree exactly on
+    off-center masks and both aspect orientations. (The model-backed
+    BLIP/CLIPSeg branches are unverifiable here — no checkpoints — but the
+    deterministic geometry is not.)"""
+    import types
+
+    from PIL import Image
+
+    # preprocess_files.py imports `fire` (absent here, CLI-only) — stub it
+    had = sys.modules.get("fire")
+    stub = types.ModuleType("fire")
+    stub.Fire = lambda *a, **k: None
+    sys.modules["fire"] = stub
+    try:
+        ref_pp = _load("_ref_preprocess", "preprocess_files.py")
+    finally:
+        if had is None:
+            sys.modules.pop("fire", None)
+        else:
+            sys.modules["fire"] = had
+
+    from lora_tpu.data.preprocess import _center_of_mass, _crop_to_square
+
+    rng = np.random.default_rng(7)
+    for w, h in ((96, 64), (64, 96), (80, 80)):
+        arr = np.zeros((h, w), np.uint8)
+        # off-center blob
+        arr[h // 5: h // 3, 2 * w // 3: w - 2] = 255
+        arr += (rng.random((h, w)) * 20).astype(np.uint8)
+        mask = Image.fromarray(arr, mode="L")
+
+        com_ref = ref_pp._center_of_mass(mask)
+        com_got = _center_of_mass(mask)
+        np.testing.assert_allclose(com_got, com_ref, rtol=1e-6)
+
+        img = Image.fromarray(
+            (rng.random((h, w, 3)) * 255).astype(np.uint8))
+        ref_crop = ref_pp._crop_to_square(img, list(com_ref), resize_to=32)
+        got_crop = _crop_to_square(img, com_got, resize_to=32)
+        np.testing.assert_array_equal(np.asarray(got_crop),
+                                      np.asarray(ref_crop))
+
+
 # ---------------------------------------------------------------------------
 # (d) CompVis key maps vs to_ckpt_v2
 # ---------------------------------------------------------------------------
