@@ -62,6 +62,23 @@ def initialize_distributed_from_env() -> bool:
     return jax.process_count() > 1
 
 
+def is_main_process() -> bool:
+    """Checkpoint/log gating under multi-process: only process 0 writes to
+    the shared output dir (the accelerate `is_main_process` equivalent,
+    train_lora_dreambooth.py:895 — concurrent whole-file writes from every
+    rank would corrupt artifacts)."""
+    return jax.process_index() == 0
+
+
+def multihost_barrier(name: str = "barrier") -> None:
+    """All processes wait here (no-op single-process) — e.g. non-main ranks
+    wait for main's class-image generation before building the dataset."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def make_mesh(
     dp: int = -1, fsdp: int = 1, tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,

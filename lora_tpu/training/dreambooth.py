@@ -108,11 +108,18 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                      cfg: DreamBoothConfig) -> dict:
     os.makedirs(cfg.output_dir, exist_ok=True)
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
-    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+    # only process 0 writes to the (shared) output dir — metrics, periodic
+    # and final artifacts, preemption state (parallel/mesh.is_main_process)
+    main = mesh_lib.is_main_process()
+    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl")
+                        if main else None, echo=main)
 
     if cfg.with_prior_preservation:
         assert cfg.class_data_dir and cfg.class_prompt
-        generate_class_images(pipe, cfg)
+        if main:
+            generate_class_images(pipe, cfg)
+        # other ranks wait for the generated files before building datasets
+        mesh_lib.multihost_barrier("class_images")
 
     mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
                                     cfg.tensor_parallel)
@@ -255,6 +262,8 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         opt_state = mesh_lib.replicate_tree(opt_state, mesh)
 
     def save(step_tag: str, final=False):
+        if not main:
+            return
         name = ("lora_weight" if final else f"lora_weight_s{step_tag}")
         if cfg.output_format in ("safe", "both"):
             save_all(os.path.join(cfg.output_dir, name + ".safetensors"),
@@ -318,11 +327,14 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                 # SIGTERM (TPU maintenance / scheduler preemption):
                 # checkpoint the FULL train state so --resume_state
                 # continues exactly here
-                _sts(os.path.join(cfg.output_dir, "train_state.safetensors"),
-                     trainable, opt_state, global_step, rng)
-                save(f"preempt_{global_step}")
+                if main:
+                    _sts(os.path.join(cfg.output_dir,
+                                      "train_state.safetensors"),
+                         trainable, opt_state, global_step, rng)
+                    save(f"preempt_{global_step}")
+                    print(f"Preempted at step {global_step}; "
+                          "train state saved")
                 preempted = True
-                print(f"Preempted at step {global_step}; train state saved")
                 break
             batch = next(loader)
             if cache_text:
@@ -351,14 +363,15 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                     log.log(**kw)
                 if cfg.save_steps and global_step % cfg.save_steps == 0:
                     save(str(global_step))
-                    if cfg.save_train_state:
+                    if cfg.save_train_state and main:
                         _sts(os.path.join(cfg.output_dir,
                                           "train_state.safetensors"),
                              trainable, opt_state, global_step, rng)
-                    print("moved:",
-                          json.dumps({k: round(v[0], 6) for k, v in list(
-                              lora_core.inspect_lora(
-                                  trainable["lora_unet"]).items())[:4]}))
+                    if main:
+                        print("moved:",
+                              json.dumps({k: round(v[0], 6) for k, v in list(
+                                  lora_core.inspect_lora(
+                                      trainable["lora_unet"]).items())[:4]}))
 
     if not preempted:
         # a preempted run must NOT overwrite the completed-run artifact

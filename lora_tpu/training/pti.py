@@ -213,8 +213,11 @@ def cached_loader(items, batch_size, seed=0):
 def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
     os.makedirs(cfg.output_dir, exist_ok=True)
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
-    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"),
-                        use_wandb=cfg.log_wandb)
+    # only process 0 writes artifacts/metrics to the (shared) output dir
+    main = mesh_lib.is_main_process()
+    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl")
+                        if main else None, use_wandb=cfg.log_wandb and main,
+                        echo=main)
     rng = jax.random.PRNGKey(cfg.seed)
 
     placeholder_tokens, initializer_tokens, token_map = parse_token_args(cfg)
@@ -358,6 +361,8 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         trainable = {"ti": {"embeds": ti_init}}
 
         def save_inv(tr, step):
+            if not main:
+                return
             save_all(os.path.join(cfg.output_dir,
                                   f"step_inv_{step}.safetensors"),
                      embeds=embeds_dict(tr["ti"]["embeds"]), save_lora=False)
@@ -406,6 +411,8 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
             cfg.lr_warmup_steps_lora)
 
     def save_tune(tr, step, name=None):
+        if not main:
+            return
         emb = embeds_dict(tr["ti"]["embeds"] if "ti" in tr else ti_embeds) \
             if len(placeholder_tokens) else None
         save_all(os.path.join(cfg.output_dir,

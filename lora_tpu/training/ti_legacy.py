@@ -67,7 +67,12 @@ def train_ti_lora_legacy(pipe: StableDiffusionPipeline,
                          cfg: LegacyTiConfig) -> dict:
     os.makedirs(cfg.output_dir, exist_ok=True)
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
-    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl"))
+    # only process 0 writes artifacts/metrics to the (shared) output dir
+    from ..parallel.mesh import is_main_process
+
+    main = is_main_process()
+    log = MetricsLogger(os.path.join(cfg.output_dir, "metrics.jsonl")
+                        if main else None, echo=main)
     rng = jax.random.PRNGKey(cfg.seed)
 
     rng, k_ti = jax.random.split(rng)
@@ -129,6 +134,8 @@ def train_ti_lora_legacy(pipe: StableDiffusionPipeline,
                                                   np.float32)}
 
     def save(tr, name):
+        if not main:
+            return
         if cfg.output_format in ("safe", "both"):
             save_all(os.path.join(cfg.output_dir, name + ".safetensors"),
                      lora_unet=tr["lora_unet"], unet_sites=usites,

@@ -47,7 +47,9 @@ def main() -> None:
         vae_cfg=TINY_VAE)
     cfg = DreamBoothConfig(
         instance_data_dir=os.path.join(args.data, "inst"),
-        output_dir=os.path.join(args.out, f"proc{args.pid}"),
+        # SHARED output dir: only process 0 may write artifacts (the
+        # is_main_process gating under test)
+        output_dir=args.out,
         instance_prompt="a photo of sks thing",
         with_prior_preservation=True,
         class_data_dir=os.path.join(args.data, "cls"),

@@ -89,6 +89,13 @@ def test_two_process_training_matches_single_process(data_dir, tmp_path,
     assert r0["steps"] == r1["steps"] == 2
     # SPMD: both processes computed the same global loss
     assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    # shared output dir: process 0 alone wrote the final artifact, and it
+    # parses through the reference-format loader
+    from lora_tpu.formats.safetensors_io import load_safeloras_both
+
+    loras, _ = load_safeloras_both(os.path.join(out,
+                                                "lora_weight.safetensors"))
+    assert "unet" in loras
 
     single = _launch(0, 1, _free_port(), data_dir,
                      str(tmp_path / "sp"), 8, cached, env)
