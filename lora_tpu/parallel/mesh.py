@@ -79,6 +79,35 @@ def multihost_barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+class PreemptionCoordinator:
+    """Multihost-consistent preemption decision.
+
+    Under multi-process, SIGTERM lands on each rank at a slightly different
+    wall time; if ranks acted on their LOCAL flag they could break out of
+    the training loop at different steps, leaving peers blocked in the next
+    collective. All ranks instead follow PROCESS 0's flag, sampled with a
+    broadcast every `every` micro-steps (a blocking host sync — keep
+    `every` >= ~10 in production; detection latency is every/steps_per_sec,
+    well inside preemption grace periods). Single-process: the local flag,
+    zero overhead."""
+
+    def __init__(self, every: int = 10):
+        self.every = max(int(every), 1)
+        self.nproc = jax.process_count()
+        self._agreed = False
+
+    def should_stop(self, local_flag: bool, step: int) -> bool:
+        if self.nproc == 1:
+            return local_flag
+        if not self._agreed and step % self.every == 0:
+            from jax.experimental import multihost_utils
+
+            self._agreed = bool(np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(local_flag))))
+        return self._agreed
+
+
 def make_mesh(
     dp: int = -1, fsdp: int = 1, tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,

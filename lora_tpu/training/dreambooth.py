@@ -70,6 +70,10 @@ class DreamBoothConfig:
     # are per-chip (the accelerate convention, train_lora_dreambooth.py:
     # 632-638): global batch = train_batch_size x dp.
     data_parallel: bool = False
+    # multihost: how often (micro-steps) ranks agree on the preemption stop
+    # decision (parallel.mesh.PreemptionCoordinator); higher = less host
+    # sync, slower detection
+    preemption_sync_every: int = 10
     fsdp: int = 1            # shard frozen base weights (HBM savings)
     tensor_parallel: int = 1  # shard attention/FFN matmuls
     scale_lr: bool = False   # lr *= ga * per-chip batch * dp
@@ -320,10 +324,13 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     preempted = False
     loss = jnp.float32(float("nan"))  # defined even if the loop never runs
     micro_steps = cfg.max_train_steps * cfg.gradient_accumulation_steps
+    # all ranks must agree on the stop step, or a rank that got SIGTERM
+    # first would abandon peers mid-collective
+    stop_coord = mesh_lib.PreemptionCoordinator(cfg.preemption_sync_every)
     with PreemptionGuard() as guard:  # handler restored even on raise
         for micro in range(start_step * cfg.gradient_accumulation_steps,
                            micro_steps):
-            if guard.should_stop:
+            if stop_coord.should_stop(guard.should_stop, micro):
                 # SIGTERM (TPU maintenance / scheduler preemption):
                 # checkpoint the FULL train state so --resume_state
                 # continues exactly here

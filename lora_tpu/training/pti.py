@@ -91,6 +91,7 @@ class PTIConfig:
     data_parallel: bool = False
     fsdp: int = 1
     tensor_parallel: int = 1
+    preemption_sync_every: int = 10  # multihost stop-agreement interval
     log_wandb: bool = False
 
 
@@ -312,9 +313,11 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         global_step = 0
         loss = jnp.float32(0)
         preempted = False
+        # multihost-consistent stop (see dreambooth.py / mesh.py)
+        stop_coord = mesh_lib.PreemptionCoordinator(cfg.preemption_sync_every)
         with PreemptionGuard() as guard:  # handler restored even on raise
             for micro in range(steps * ga):
-                if guard.should_stop:
+                if stop_coord.should_stop(guard.should_stop, micro):
                     # SIGTERM: save the phase's adapters/embeds and stop cleanly
                     save_fn(trainable, global_step)
                     preempted = True

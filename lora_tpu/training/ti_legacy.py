@@ -153,9 +153,12 @@ def train_ti_lora_legacy(pipe: StableDiffusionPipeline,
 
     loss = jnp.float32(float("nan"))
     preempted = False
+    from ..parallel.mesh import PreemptionCoordinator
+
+    stop_coord = PreemptionCoordinator()  # multihost-consistent stop
     with PreemptionGuard() as guard:
         for step in range(cfg.max_train_steps):
-            if guard.should_stop:
+            if stop_coord.should_stop(guard.should_stop, step):
                 # SIGTERM: save current adapters/embeds and stop cleanly
                 save(trainable, f"lora_ti_preempt_{step}")
                 preempted = True

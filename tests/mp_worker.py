@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--devices", type=int, default=4)
     ap.add_argument("--cached", action="store_true")
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--sync-every", type=int, default=2)
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -58,7 +60,8 @@ def main() -> None:
         prior_loss_weight=1.0,
         resolution=64,
         lora_rank=2,
-        max_train_steps=2,
+        max_train_steps=args.steps,
+        preemption_sync_every=args.sync_every,
         save_steps=100,
         train_batch_size=1,   # per-chip; global = 1 x dp
         data_parallel=True,
@@ -70,6 +73,7 @@ def main() -> None:
         "pid": args.pid,
         "loss": float(res["final_loss"]),
         "steps": int(res["steps"]),
+        "preempted": bool(res.get("preempted", False)),
         "process_count": jax.process_count(),
         "device_count": jax.device_count(),
     }), flush=True)

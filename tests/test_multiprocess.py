@@ -15,9 +15,11 @@ yields identical batches and the 2-process loss must match a single-process
 
 import json
 import os
+import signal
 import socket
 import subprocess
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -67,6 +69,42 @@ def _result(proc, timeout=600):
     return json.loads(lines[-1][len("RESULT "):])
 
 
+def _launch_bin(pid, nproc, port, data, out, env, steps, sync_every):
+    cmd = [sys.executable, WORKER, "--pid", str(pid), "--nproc", str(nproc),
+           "--port", str(port), "--data", data, "--out", out,
+           "--devices", "4", "--cached", "--steps", str(steps),
+           "--sync-every", str(sync_every)]
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, env=env)
+
+
+def _wait_for(proc, pattern: bytes, timeout=600) -> bytes:
+    os.set_blocking(proc.stdout.fileno(), False)
+    buf = b""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        chunk = proc.stdout.read()
+        if chunk:
+            buf += chunk
+            if pattern in buf:
+                return buf
+        if proc.poll() is not None:
+            break
+        time.sleep(0.2)
+    raise AssertionError(
+        f"{pattern!r} not seen:\n{buf[-3000:].decode(errors='replace')}")
+
+
+def _finish(proc, buf: bytes = b"", timeout=600) -> dict:
+    os.set_blocking(proc.stdout.fileno(), True)
+    out, _ = proc.communicate(timeout=timeout)
+    text = (buf + (out or b"")).decode(errors="replace")
+    assert proc.returncode == 0, text[-4000:]
+    lines = [l for l in text.splitlines() if l.startswith("RESULT ")]
+    assert lines, text[-4000:]
+    return json.loads(lines[-1][len("RESULT "):])
+
+
 @pytest.mark.parametrize("cached", [False, True],
                          ids=["uncached", "cached_latents"])
 def test_two_process_training_matches_single_process(data_dir, tmp_path,
@@ -108,3 +146,40 @@ def test_two_process_training_matches_single_process(data_dir, tmp_path,
     # which shifts the loss at the 1e-1 level
     assert r0["loss"] == pytest.approx(rs["loss"], rel=1e-3)
     assert np.isfinite(r0["loss"])
+
+
+def test_sigterm_on_one_rank_does_not_split_the_group(data_dir, tmp_path):
+    """Preemption coordination, partial delivery: SIGTERM hitting only a
+    NON-main rank must not make it abandon its peers mid-collective — all
+    ranks follow process 0's flag (parallel.mesh.PreemptionCoordinator), so
+    the run completes every step on both ranks."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)
+    port = _free_port()
+    out = str(tmp_path / "mp")
+    p0 = _launch_bin(0, 2, port, data_dir, out, env, steps=8, sync_every=2)
+    p1 = _launch_bin(1, 2, port, data_dir, out, env, steps=8, sync_every=2)
+    buf0 = _wait_for(p0, b"step=1")  # compile done, training underway
+    p1.send_signal(signal.SIGTERM)   # only the non-main rank
+    r0, r1 = _finish(p0, buf0), _finish(p1)
+    assert r0["steps"] == r1["steps"] == 8
+    assert not r0["preempted"] and not r1["preempted"]
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+
+
+def test_sigterm_on_main_rank_stops_all_ranks(data_dir, tmp_path):
+    """Preemption coordination, main-rank delivery: process 0's SIGTERM
+    stops EVERY rank at the same agreed step, and process 0 checkpoints the
+    full train state into the shared output dir."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)
+    port = _free_port()
+    out = str(tmp_path / "mp")
+    p0 = _launch_bin(0, 2, port, data_dir, out, env, steps=50, sync_every=2)
+    p1 = _launch_bin(1, 2, port, data_dir, out, env, steps=50, sync_every=2)
+    buf0 = _wait_for(p0, b"step=1")
+    p0.send_signal(signal.SIGTERM)   # the main rank
+    r0, r1 = _finish(p0, buf0), _finish(p1)
+    assert r0["preempted"] and r1["preempted"]
+    assert r0["steps"] == r1["steps"] < 50
+    assert os.path.exists(os.path.join(out, "train_state.safetensors"))
