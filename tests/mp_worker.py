@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--cached", action="store_true")
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--sync-every", type=int, default=2)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/train_state.safetensors")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -67,6 +69,9 @@ def main() -> None:
         data_parallel=True,
         cached_latents=args.cached,
         seed=0,
+        save_train_state=True,
+        resume_state=(os.path.join(args.out, "train_state.safetensors")
+                      if args.resume else None),
     )
     res = train_dreambooth(pipe, cfg)
     print("RESULT " + json.dumps({

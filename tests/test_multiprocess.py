@@ -183,3 +183,42 @@ def test_sigterm_on_main_rank_stops_all_ranks(data_dir, tmp_path):
     assert r0["preempted"] and r1["preempted"]
     assert r0["steps"] == r1["steps"] < 50
     assert os.path.exists(os.path.join(out, "train_state.safetensors"))
+
+
+def test_preempt_then_resume_two_process(data_dir, tmp_path):
+    """Full resilience loop under real multi-process: preempt a 2-rank run
+    (SIGTERM to the main rank), then relaunch both ranks with
+    --resume_state — training continues from the agreed stop step to
+    completion and writes the final artifact."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)
+    port = _free_port()
+    out = str(tmp_path / "mp")
+    p0 = _launch_bin(0, 2, port, data_dir, out, env, steps=12, sync_every=2)
+    p1 = _launch_bin(1, 2, port, data_dir, out, env, steps=12, sync_every=2)
+    buf0 = _wait_for(p0, b"step=1")
+    p0.send_signal(signal.SIGTERM)
+    r0, r1 = _finish(p0, buf0), _finish(p1)
+    assert r0["preempted"] and r1["preempted"]
+    stop_step = r0["steps"]
+    assert stop_step < 12
+    assert os.path.exists(os.path.join(out, "train_state.safetensors"))
+    assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
+
+    port2 = _free_port()
+    cmd_extra = ["--resume"]
+    q0 = subprocess.Popen(
+        [sys.executable, WORKER, "--pid", "0", "--nproc", "2", "--port",
+         str(port2), "--data", data_dir, "--out", out, "--devices", "4",
+         "--cached", "--steps", "12", "--sync-every", "2", *cmd_extra],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+    q1 = subprocess.Popen(
+        [sys.executable, WORKER, "--pid", "1", "--nproc", "2", "--port",
+         str(port2), "--data", data_dir, "--out", out, "--devices", "4",
+         "--cached", "--steps", "12", "--sync-every", "2", *cmd_extra],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+    s0, s1 = _finish(q0), _finish(q1)
+    assert s0["steps"] == s1["steps"] == 12  # resumed to completion
+    assert not s0["preempted"] and not s1["preempted"]
+    assert s0["loss"] == pytest.approx(s1["loss"], rel=1e-6)
+    assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
