@@ -100,7 +100,9 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
 
     lats = sorted(r for r in results[int(n * warm_frac):]
                   if isinstance(r, float))
-    shed = sum(1 for r in results if r == "shed") + srv.shed_count
+    # client-observed sheds only — srv.shed_count counts the SAME events
+    # server-side (kept below as a cross-check, not summed in)
+    shed = sum(1 for r in results if r == "shed")
     if not lats:
         return {"offered_rps": round(rate_rps, 3), "error": "all shed"}
     return {
@@ -110,6 +112,7 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
         "p50_s": round(lats[len(lats) // 2], 3),
         "p95_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
         "shed": shed,
+        "server_shed_count": srv.shed_count,
         "n": n,
     }
 

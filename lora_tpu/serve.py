@@ -62,6 +62,8 @@ class _Pending:
         self.error: Optional[Exception] = None
         self.batched_with = 1
         self.t0 = time.monotonic()
+        pr = req.get("prompt", "")
+        self.n_rows = 1 if isinstance(pr, str) else len(pr)
         # absolute latency budget; None = no deadline (fixed-window only)
         d = req.get("deadline_ms")
         self.deadline = self.t0 + float(d) / 1000.0 if d is not None else None
@@ -88,13 +90,22 @@ class PipelineServer:
         # two up to max_batch, bounding the compiled-program count
         if batch_buckets is None:
             batch_buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64)
-                                  if b <= max_batch)
-        self.batch_buckets = tuple(sorted(batch_buckets))
+                                  if b < max_batch) + (max_batch,)
+        self.batch_buckets = tuple(sorted(set(batch_buckets)))
+        # invariant the coalescer + warmup rely on: every group it cuts
+        # (rows <= max_batch) pads up into SOME warmed bucket — no live
+        # request ever meets an uncompiled shape
+        if self.batch_buckets[-1] != max_batch:
+            raise ValueError(
+                f"largest batch bucket {self.batch_buckets[-1]} must equal "
+                f"max_batch {max_batch}, or batches between them would "
+                f"compile fresh shapes at serve time")
         self.last_device_batch = 0
         # backpressure: requests beyond this depth are shed with 503 rather
         # than queued into certain deadline misses
         self.max_queue = max_queue
         self.shed_count = 0
+        self._shed_lock = threading.Lock()  # qsize check + count are atomic
         # EWMA of recent batch execution seconds — the deadline-aware
         # coalescer's estimate of how long a batch will take once cut
         self._exec_ewma: Optional[float] = None
@@ -158,13 +169,18 @@ class PipelineServer:
 
     def generate(self, req: dict) -> dict:
         t0 = time.perf_counter()
-        if self._queue.qsize() >= self.max_queue:
-            self.shed_count += 1
-            raise ServerOverloaded(
-                f"queue depth {self._queue.qsize()} >= max_queue "
-                f"{self.max_queue}; retry with backoff")
         pending = _Pending(req)
-        self._queue.put(pending)
+        if pending.n_rows > self.max_batch:
+            raise ValueError(
+                f"prompt list of {pending.n_rows} exceeds max_batch "
+                f"{self.max_batch}; split the request")
+        with self._shed_lock:
+            if self._queue.qsize() >= self.max_queue:
+                self.shed_count += 1
+                raise ServerOverloaded(
+                    f"queue depth {self._queue.qsize()} >= max_queue "
+                    f"{self.max_queue}; retry with backoff")
+            self._queue.put(pending)
         pending.done.wait()
         if pending.error is not None:
             raise pending.error
@@ -195,8 +211,12 @@ class PipelineServer:
         first = self._spill or self._queue.get()
         self._spill = None
         group = [first]
+        rows = first.n_rows
         window_end = time.monotonic() + self.batch_window
-        while len(group) < self.max_batch:
+        # cap by ROW count, not request count: requests may carry prompt
+        # lists, and the bucketed device batch must never exceed max_batch
+        # (the largest warmed bucket) or a fresh shape would compile
+        while rows < self.max_batch:
             remaining = self._window_remaining(group, window_end)
             if remaining <= 0:
                 break
@@ -204,8 +224,10 @@ class PipelineServer:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
-            if nxt.key() == first.key():
+            if (nxt.key() == first.key()
+                    and rows + nxt.n_rows <= self.max_batch):
                 group.append(nxt)
+                rows += nxt.n_rows
             else:
                 self._spill = nxt
                 break
@@ -349,7 +371,11 @@ class PipelineServer:
         return self
 
     def stop(self):
-        self.httpd.shutdown()
+        # shutdown() blocks on serve_forever()'s exit handshake — on a
+        # constructed-but-never-started server that would wait forever
+        if self.thread is not None:
+            self.httpd.shutdown()
+        self.httpd.server_close()
 
 
 def main():
@@ -366,6 +392,12 @@ def main():
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--batch_window_ms", type=float, default=25.0)
     ap.add_argument("--max_queue", type=int, default=32)
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip deploy-time compilation of the batch "
+                         "buckets (first live request per bucket then "
+                         "pays the XLA compile)")
+    ap.add_argument("--warmup_steps", type=int, default=30,
+                    help="sampler steps used for the warmup config")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -380,7 +412,14 @@ def main():
         pipe.quantize_base()
     srv = PipelineServer(pipe, port=args.port, max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         max_queue=args.max_queue).start()
+                         max_queue=args.max_queue)
+    if not args.no_warmup:
+        # compile every bucket before taking traffic — the whole point of
+        # bucketing is that this set is bounded
+        spent = srv.warmup(steps=args.warmup_steps)
+        print(f"warmup compiled buckets {srv.batch_buckets} "
+              f"in {spent:.1f}s")
+    srv.start()
     print(f"serving on :{srv.port}")
     srv.thread.join()
 

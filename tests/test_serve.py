@@ -323,3 +323,59 @@ def test_warmup_compiles_all_buckets(server):
         assert status == 200 and len(out["images"]) == 1
     finally:
         srv.stop()
+
+
+def test_prompt_list_rows_count_toward_bucket_cap(server):
+    """Coalescing caps by prompt ROW count, not request count: two 3-prompt
+    requests in one window must run as one 6-row group padded to the
+    8-bucket — never an unwarmed >max_batch shape."""
+    import threading
+
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, batch_window_ms=1500.0,
+                         max_batch=8).start()
+    try:
+        results = {}
+
+        def fire(name, seed):
+            results[name] = _post(srv, {
+                "prompt": [f"row {seed} {j}" for j in range(3)],
+                "steps": 2, "height": 64, "width": 64, "seed": seed})
+
+        ts = [threading.Thread(target=fire, args=(f"r{i}", i))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(s == 200 for _, s in results.values())
+        assert all(len(out["images"]) == 3 for out, _ in results.values())
+        # 6 real rows -> 8-bucket, within the warmed set
+        assert srv.last_device_batch == 8
+    finally:
+        srv.stop()
+
+
+def test_oversize_prompt_list_rejected(server):
+    """A single request wider than max_batch can never fit a warmed bucket
+    — reject it up front (400) instead of compiling a fresh shape."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, {"prompt": [f"p{i}" for i in range(9)], "steps": 2,
+                       "height": 64, "width": 64})
+    assert ei.value.code == 400
+    assert b"max_batch" in ei.value.read()
+
+
+def test_largest_bucket_must_equal_max_batch(server):
+    """The bucket set must cover max_batch exactly, or coalesced groups
+    between the largest bucket and max_batch would hit uncompiled shapes;
+    non-power-of-two max_batch gets its own top bucket."""
+    from lora_tpu.serve import PipelineServer
+
+    with pytest.raises(ValueError, match="max_batch"):
+        PipelineServer(server.pipe, port=0, max_batch=8,
+                       batch_buckets=(1, 2, 4))
+    srv = PipelineServer(server.pipe, port=0, max_batch=12)
+    assert srv.batch_buckets == (1, 2, 4, 8, 12)
+    srv.stop()
