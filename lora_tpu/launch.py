@@ -8,9 +8,14 @@ TPU-native counterpart: it spawns N local worker processes with the
 (LORA_TPU_COORDINATOR / _NUM_PROCESSES / _PROCESS_ID, consumed by
 parallel.mesh.initialize_distributed_from_env in the trainer CLIs) and
 supervises them — streaming each child's output with a `[pN]` prefix,
-forwarding SIGTERM/SIGINT to every child (so a preemption checkpoint fires
-in all ranks, training/checkpoint.PreemptionGuard), and exiting non-zero if
-any child fails.
+forwarding SIGTERM (and translating a SIGINT/Ctrl-C into SIGTERM) to every
+child so the graceful preemption checkpoint fires in all ranks
+(training/checkpoint.PreemptionGuard handles SIGTERM), failing FAST when
+any rank dies — surviving ranks would otherwise block forever in their
+next collective, so they get SIGTERM, a grace period to checkpoint, then
+SIGKILL — and exiting non-zero if any child failed. Workers run in their
+own process group so a terminal Ctrl-C reaches them exactly once, via the
+launcher's translation, not also raw from the tty.
 
 Usage:
   lora_launch --nproc 2 -- lora_db --instance_data_dir ... --data_parallel
@@ -47,6 +52,41 @@ def _stream(proc: subprocess.Popen, tag: str) -> None:
         sys.stdout.flush()
 
 
+def _supervise(procs, grace_s: float = 30.0, poll_s: float = 0.2):
+    """Wait on all workers, failing FAST: the moment any rank exits
+    non-zero, surviving ranks (stranded in their next collective by the
+    dead peer) get SIGTERM, `grace_s` seconds to run their preemption
+    checkpoint, then SIGKILL — torchrun/accelerate group-kill semantics
+    rather than a launcher hung on `wait()` forever."""
+    import time
+
+    while True:
+        rcs = [p.poll() for p in procs]
+        failed = any(rc not in (None, 0) for rc in rcs)
+        if all(rc is not None for rc in rcs):
+            return rcs
+        if failed:
+            break
+        time.sleep(poll_s)
+    crashed = [(i, rc) for i, rc in enumerate(rcs) if rc not in (None, 0)]
+    print(f"lora_launch: "
+          f"{', '.join(f'p{i} exited rc{rc}' for i, rc in crashed)}; "
+          f"terminating surviving ranks (grace {grace_s:.0f}s)",
+          file=sys.stderr)
+    for p in procs:
+        if p.poll() is None:
+            p.terminate()
+    deadline = time.monotonic() + grace_s
+    for p in procs:
+        if p.poll() is None:
+            try:
+                p.wait(timeout=max(deadline - time.monotonic(), 0.1))
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+    return [p.poll() for p in procs]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="lora_launch",
@@ -56,6 +96,10 @@ def main(argv=None) -> int:
                     help="number of worker processes")
     ap.add_argument("--port", type=int, default=0,
                     help="coordinator port (0 = pick a free one)")
+    ap.add_argument("--grace-s", type=float, default=30.0,
+                    help="on a rank failure, seconds surviving ranks get "
+                         "to run their preemption checkpoint (SIGTERM) "
+                         "before SIGKILL")
     ap.add_argument("--cpu-devices-per-proc", type=int, default=0,
                     help="CPU rehearsal: give each process this many "
                          "virtual CPU devices (sets XLA_FLAGS + pins the "
@@ -88,8 +132,12 @@ def main(argv=None) -> int:
                 f" --xla_force_host_platform_device_count="
                 f"{args.cpu_devices_per_proc}").strip()
             env["LORA_TPU_PLATFORM"] = "cpu"
+        # own process group: the tty's Ctrl-C must not hit workers raw
+        # (KeyboardInterrupt mid-step, no checkpoint) — it reaches them
+        # only as the launcher's SIGTERM translation below
         p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
-                             stderr=subprocess.STDOUT, text=True)
+                             stderr=subprocess.STDOUT, text=True,
+                             start_new_session=True)
         procs.append(p)
         t = threading.Thread(target=_stream, args=(p, f"p{pid}"),
                              daemon=True)
@@ -97,15 +145,17 @@ def main(argv=None) -> int:
         threads.append(t)
 
     def forward(signum, _frame):
-        # preemption/interrupt reaches every rank so each checkpoints
+        # preemption/interrupt reaches every rank so each checkpoints;
+        # SIGINT is translated to SIGTERM — the graceful-checkpoint
+        # signal PreemptionGuard actually handles
         for p in procs:
             if p.poll() is None:
-                p.send_signal(signum)
+                p.send_signal(signal.SIGTERM)
 
     old_term = signal.signal(signal.SIGTERM, forward)
     old_int = signal.signal(signal.SIGINT, forward)
     try:
-        rcs = [p.wait() for p in procs]
+        rcs = _supervise(procs, grace_s=args.grace_s)
     finally:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)

@@ -61,6 +61,47 @@ def test_launch_propagates_worker_failure():
     assert "p1=rc3" in r.stderr
 
 
+def test_launch_fail_fast_terminates_survivors():
+    """Group-kill semantics (torchrun/accelerate parity): when one rank
+    crashes hard, surviving ranks — which would otherwise block forever in
+    their next collective against the dead peer — get SIGTERM (their
+    preemption checkpoint fires), and the launcher exits non-zero promptly
+    instead of hanging on wait()."""
+    worker = ("import os, signal, sys, time\n"
+              "if os.environ['LORA_TPU_PROCESS_ID'] == '1':\n"
+              "    time.sleep(2)\n"   # let rank 0 register its handler
+              "    os._exit(3)\n"  # hard crash: no atexit, like a segfault
+              "def h(s, f):\n"
+              "    print('SURVIVOR_TERM', flush=True)\n"
+              "    sys.exit(0)\n"
+              "signal.signal(signal.SIGTERM, h)\n"
+              "time.sleep(300)\n")
+    t0 = time.time()
+    r = _launch("--nproc", "2", "--grace-s", "10", worker=worker)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert time.time() - t0 < 120  # fail-fast, not the worker's 300s sleep
+    assert "p1 exited rc3" in r.stderr
+    assert "SURVIVOR_TERM" in r.stdout
+
+
+def test_launch_fail_fast_kills_hung_survivor_after_grace():
+    """A survivor that ignores SIGTERM (hung in a collective) is SIGKILLed
+    once the checkpoint grace period lapses — the launcher never hangs."""
+    worker = ("import os, signal, time\n"
+              "if os.environ['LORA_TPU_PROCESS_ID'] == '1':\n"
+              "    time.sleep(2)\n"   # let rank 0 set SIG_IGN first
+              "    os._exit(3)\n"
+              "signal.signal(signal.SIGTERM, signal.SIG_IGN)\n"
+              "print('HUNG_READY', flush=True)\n"
+              "time.sleep(300)\n")
+    t0 = time.time()
+    r = _launch("--nproc", "2", "--grace-s", "3", worker=worker)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert time.time() - t0 < 120
+    # SIGKILL shows up as a negative return code in the failure summary
+    assert "p0=rc-9" in r.stderr
+
+
 def test_launch_forwards_sigterm():
     """SIGTERM to the launcher reaches every rank (the preemption path:
     each rank's PreemptionGuard can checkpoint)."""
