@@ -9,7 +9,11 @@ Wraps a StableDiffusionPipeline behind an HTTP API (stdlib-only):
                    -> {"images": [base64 PNG, ...], "latency_ms": float,
                        "batched_with": int}
                    -> 503 {"error": ...} when the queue is at max_queue
-  GET  /healthz    -> {"ok": true, "devices": [...]}
+                      or the server is draining for shutdown
+  GET  /healthz    -> {"ok": true, "devices": [...], "draining": bool}
+  GET  /metrics    -> counters: requests/images served, shed count, embed
+                      cache hits/misses, queue depth, exec-time EWMA,
+                      uptime — everything an autoscaler or dashboard needs
 
 Concurrent requests with the same sampling config (steps/guidance/size/
 scheduler/alpha) are MICRO-BATCHED: a worker thread coalesces them (up to
@@ -30,6 +34,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -106,6 +111,16 @@ class PipelineServer:
         self.max_queue = max_queue
         self.shed_count = 0
         self._shed_lock = threading.Lock()  # qsize check + count are atomic
+        # graceful drain: once set, new requests are shed with 503 while
+        # everything already admitted finishes (the serving counterpart of
+        # the trainers' preemption checkpoint — lora_serve wires SIGTERM to
+        # drain())
+        self.draining = False
+        self._inflight = 0            # admitted, not yet done.set()
+        self._idle = threading.Condition(self._shed_lock)
+        self.request_count = 0  # lifetime admits (monotonic, for /metrics)
+        self.image_count = 0
+        self._t_started = time.monotonic()
         # EWMA of recent batch execution seconds — the deadline-aware
         # coalescer's estimate of how long a batch will take once cut
         self._exec_ewma: Optional[float] = None
@@ -144,8 +159,11 @@ class PipelineServer:
                     import jax
 
                     self._send(200, {"ok": True,
+                                     "draining": server_self.draining,
                                      "devices": [str(d) for d in
                                                  jax.devices()]})
+                elif self.path == "/metrics":
+                    self._send(200, server_self.metrics())
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -175,15 +193,23 @@ class PipelineServer:
                 f"prompt list of {pending.n_rows} exceeds max_batch "
                 f"{self.max_batch}; split the request")
         with self._shed_lock:
+            if self.draining:
+                self.shed_count += 1
+                raise ServerOverloaded(
+                    "server is draining for shutdown; retry elsewhere")
             if self._queue.qsize() >= self.max_queue:
                 self.shed_count += 1
                 raise ServerOverloaded(
                     f"queue depth {self._queue.qsize()} >= max_queue "
                     f"{self.max_queue}; retry with backoff")
+            self._inflight += 1
+            self.request_count += 1
             self._queue.put(pending)
         pending.done.wait()
         if pending.error is not None:
             raise pending.error
+        with self._shed_lock:
+            self.image_count += pending.n_rows
         return {"images": [_png_b64(im) for im in pending.images],
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
                 "batched_with": pending.batched_with}
@@ -251,6 +277,10 @@ class PipelineServer:
                 for p in group:
                     p.batched_with = len(group)
                     p.done.set()
+                with self._idle:
+                    self._inflight -= len(group)
+                    if self._inflight == 0:
+                        self._idle.notify_all()
 
     def _cached_embeds(self, texts: list, alpha) -> "np.ndarray":
         """Encode `texts`, serving repeats from the LRU cache (caller holds
@@ -364,6 +394,38 @@ class PipelineServer:
             self._run_group(group)
         return time.monotonic() - t0
 
+    def metrics(self) -> dict:
+        """Counters for dashboards/autoscalers (also served at GET
+        /metrics). Everything here is monotonic or instantaneous — safe to
+        scrape at any rate."""
+        with self._shed_lock:
+            return {
+                "uptime_s": round(time.monotonic() - self._t_started, 1),
+                "requests": self.request_count,
+                "images": self.image_count,
+                "shed": self.shed_count,
+                "inflight": self._inflight,
+                "queue_depth": self._queue.qsize(),
+                "draining": self.draining,
+                "last_device_batch": self.last_device_batch,
+                "exec_ewma_s": (round(self._exec_ewma, 4)
+                                if self._exec_ewma is not None else None),
+                "embed_cache_hits": self.embed_cache_hits,
+                "embed_cache_misses": self.embed_cache_misses,
+            }
+
+    def drain(self, timeout: Optional[float] = None) -> bool:
+        """Graceful shutdown, phase 1: stop admitting (new requests shed
+        with 503 so the balancer retries elsewhere) and wait until every
+        already-admitted request has completed. The serving counterpart of
+        the trainers' preemption checkpoint — lora_serve wires SIGTERM to
+        drain() then stop(). Returns True when fully drained, False on
+        timeout (requests may still be mid-batch)."""
+        with self._idle:
+            self.draining = True
+            return self._idle.wait_for(lambda: self._inflight == 0,
+                                       timeout=timeout)
+
     def start(self):
         self.thread = threading.Thread(target=self.httpd.serve_forever,
                                        daemon=True)
@@ -421,7 +483,22 @@ def main():
               f"in {spent:.1f}s")
     srv.start()
     print(f"serving on :{srv.port}")
-    srv.thread.join()
+
+    # graceful shutdown: on SIGTERM/SIGINT stop admitting (503), finish
+    # everything already in the queue, then exit — the serving counterpart
+    # of the trainers' preemption checkpointing
+    import signal
+
+    stop_evt = threading.Event()
+    signal.signal(signal.SIGTERM, lambda *_: stop_evt.set())
+    signal.signal(signal.SIGINT, lambda *_: stop_evt.set())
+    stop_evt.wait()
+    print("draining...")
+    drained = srv.drain(timeout=float(
+        os.environ.get("LORA_TPU_DRAIN_TIMEOUT_S", 120)))
+    srv.stop()
+    print(f"drained={drained} served={srv.request_count} "
+          f"shed={srv.shed_count}")
 
 
 if __name__ == "__main__":

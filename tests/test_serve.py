@@ -379,3 +379,65 @@ def test_largest_bucket_must_equal_max_batch(server):
     srv = PipelineServer(server.pipe, port=0, max_batch=12)
     assert srv.batch_buckets == (1, 2, 4, 8, 12)
     srv.stop()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics returns the counters a dashboard needs, consistent
+    with the requests this module has already served."""
+    out, status = _post(server, {"prompt": "metrics probe", "steps": 2,
+                                 "height": 64, "width": 64, "seed": 3})
+    assert status == 200
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"] >= 1 and m["images"] >= 1
+    assert m["inflight"] == 0 and m["draining"] is False
+    assert m["uptime_s"] > 0
+    assert m["exec_ewma_s"] is None or m["exec_ewma_s"] > 0
+    assert m["embed_cache_hits"] + m["embed_cache_misses"] > 0
+
+
+def test_drain_finishes_admitted_sheds_new(server):
+    """Graceful shutdown: drain() lets already-admitted requests finish
+    (success, not error) while anything arriving after the drain flag is
+    shed with 503 — the balancer's cue to retry elsewhere."""
+    import threading
+
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0).start()
+    try:
+        results = {}
+
+        def fire(name, seed):
+            try:
+                results[name] = _post(srv, {"prompt": "drain probe",
+                                            "steps": 2, "height": 64,
+                                            "width": 64, "seed": seed})
+            except urllib.error.HTTPError as e:
+                results[name] = (None, e.code)
+
+        t = threading.Thread(target=fire, args=("admitted", 1))
+        t.start()
+        # wait until the request is actually admitted (or, on a fast tiny
+        # pipe, already served — either way drain() must not error it)
+        deadline = time.monotonic() + 30
+        while srv.metrics()["inflight"] == 0 and "admitted" not in results:
+            assert time.monotonic() < deadline, "request never admitted"
+            time.sleep(0.01)
+        assert srv.drain(timeout=120) is True
+        t.join()
+        out, status = results["admitted"]
+        assert status == 200 and len(out["images"]) == 1
+
+        # post-drain arrival: shed with 503, never queued
+        fire("late", 2)
+        assert results["late"] == (None, 503)
+        m = srv.metrics()
+        assert m["draining"] is True and m["inflight"] == 0
+        # healthz advertises the drain so balancers stop routing here
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["draining"] is True
+    finally:
+        srv.stop()
