@@ -54,12 +54,21 @@ def initialize_distributed_from_env() -> bool:
     coord = os.environ.get("LORA_TPU_COORDINATOR")
     if not coord:
         return False
-    initialize_distributed(
+    nproc = int(os.environ["LORA_TPU_NUM_PROCESSES"])
+    # deliberately NOT the error-swallowing wrapper: a failed handshake must
+    # CRASH the rank, not silently degrade it to an independent
+    # single-process run that believes it is main and writes into the
+    # shared output dir (split-brain)
+    jax.distributed.initialize(
         coordinator_address=coord,
-        num_processes=int(os.environ["LORA_TPU_NUM_PROCESSES"]),
+        num_processes=nproc,
         process_id=int(os.environ["LORA_TPU_PROCESS_ID"]),
     )
-    return jax.process_count() > 1
+    if jax.process_count() != nproc:
+        raise RuntimeError(
+            f"distributed handshake joined {jax.process_count()} processes, "
+            f"launcher expected {nproc}")
+    return nproc > 1
 
 
 def is_main_process() -> bool:
@@ -83,12 +92,16 @@ class PreemptionCoordinator:
     """Multihost-consistent preemption decision.
 
     Under multi-process, SIGTERM lands on each rank at a slightly different
-    wall time; if ranks acted on their LOCAL flag they could break out of
-    the training loop at different steps, leaving peers blocked in the next
-    collective. All ranks instead follow PROCESS 0's flag, sampled with a
-    broadcast every `every` micro-steps (a blocking host sync — keep
+    wall time (and on a real pod a maintenance preemption may hit only SOME
+    hosts); if ranks acted on their LOCAL flag they could break out of the
+    training loop at different steps, leaving peers blocked in the next
+    collective. All ranks instead agree on the OR of every rank's flag —
+    an any-reduce (allgather of the local flags) sampled every `every`
+    micro-steps — so a signal delivered to any subset of hosts stops the
+    whole group at the same step, and process 0 checkpoints even when the
+    signal never reached it. The reduce is a blocking host sync — keep
     `every` >= ~10 in production; detection latency is every/steps_per_sec,
-    well inside preemption grace periods). Single-process: the local flag,
+    well inside preemption grace periods. Single-process: the local flag,
     zero overhead."""
 
     def __init__(self, every: int = 10):
@@ -103,8 +116,8 @@ class PreemptionCoordinator:
             from jax.experimental import multihost_utils
 
             self._agreed = bool(np.asarray(
-                multihost_utils.broadcast_one_to_all(
-                    np.asarray(local_flag))))
+                multihost_utils.process_allgather(
+                    np.asarray(local_flag))).any())
         return self._agreed
 
 

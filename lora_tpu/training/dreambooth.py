@@ -294,11 +294,14 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                 # multi-process: the prefetched ids span non-addressable
                 # devices, so key/encode on THIS process's local rows (in
                 # global row order) — the resulting local embedding rows go
-                # back through shard_batch's process-local assembly
-                shards = sorted(ids_batch.addressable_shards,
-                                key=lambda s: s.index[0].start or 0)
+                # back through shard_batch's process-local assembly. Dedup
+                # by row range: under fsdp/tp the batch is REPLICATED along
+                # those mesh axes, so each row block appears once per
+                # replica in addressable_shards.
+                uniq = {(s.index[0].start or 0): s
+                        for s in ids_batch.addressable_shards}
                 ids_batch = np.concatenate(
-                    [np.asarray(s.data) for s in shards])
+                    [np.asarray(uniq[k].data) for k in sorted(uniq)])
             ids_np = np.asarray(ids_batch)
             key = ids_np.tobytes()
             if key not in text_emb_cache:

@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--devices", type=int, default=4)
     ap.add_argument("--cached", action="store_true")
+    ap.add_argument("--fsdp", type=int, default=1)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--sync-every", type=int, default=2)
     ap.add_argument("--resume", action="store_true",
@@ -67,6 +68,7 @@ def main() -> None:
         save_steps=100,
         train_batch_size=1,   # per-chip; global = 1 x dp
         data_parallel=True,
+        fsdp=args.fsdp,
         cached_latents=args.cached,
         seed=0,
         save_train_state=True,

@@ -51,10 +51,10 @@ def data_dir(tmp_path_factory):
     return str(root)
 
 
-def _launch(pid, nproc, port, data, out, devices, cached, env):
+def _launch(pid, nproc, port, data, out, devices, cached, env, fsdp=1):
     cmd = [sys.executable, WORKER, "--pid", str(pid), "--nproc", str(nproc),
            "--port", str(port), "--data", data, "--out", out,
-           "--devices", str(devices)]
+           "--devices", str(devices), "--fsdp", str(fsdp)]
     if cached:
         cmd.append("--cached")
     return subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -148,23 +148,49 @@ def test_two_process_training_matches_single_process(data_dir, tmp_path,
     assert np.isfinite(r0["loss"])
 
 
-def test_sigterm_on_one_rank_does_not_split_the_group(data_dir, tmp_path):
-    """Preemption coordination, partial delivery: SIGTERM hitting only a
-    NON-main rank must not make it abandon its peers mid-collective — all
-    ranks follow process 0's flag (parallel.mesh.PreemptionCoordinator), so
-    the run completes every step on both ranks."""
+def test_two_process_fsdp_mesh_matches_single_process(data_dir, tmp_path):
+    """dp=4 x fsdp=2 across 2 real processes: the batch is REPLICATED along
+    the fsdp mesh axis, so each process's addressable_shards carry every
+    local row block once per replica — the text-embed cache must dedup by
+    row range before re-assembling local rows (dreambooth.embed_ids), and
+    the loss must match the same mesh on one process."""
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)
+
+    port = _free_port()
+    out = str(tmp_path / "mp")
+    p0 = _launch(0, 2, port, data_dir, out, 4, False, env, fsdp=2)
+    p1 = _launch(1, 2, port, data_dir, out, 4, False, env, fsdp=2)
+    r0, r1 = _result(p0), _result(p1)
+    assert r0["device_count"] == 8 and r0["process_count"] == 2
+    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+
+    single = _launch(0, 1, _free_port(), data_dir,
+                     str(tmp_path / "sp"), 8, False, env, fsdp=2)
+    rs = _result(single)
+    assert rs["device_count"] == 8 and rs["process_count"] == 1
+    assert r0["loss"] == pytest.approx(rs["loss"], rel=1e-3)
+    assert np.isfinite(r0["loss"])
+
+
+def test_sigterm_on_non_main_rank_stops_all_ranks(data_dir, tmp_path):
+    """Preemption coordination, partial delivery: on a real pod a
+    maintenance SIGTERM may hit only SOME hosts — never host 0. The
+    coordinator's any-reduce (parallel.mesh.PreemptionCoordinator) must
+    stop EVERY rank at the same agreed step, and process 0 must write the
+    preemption checkpoint even though the signal never reached it."""
     env = {**os.environ, "PYTHONPATH": REPO}
     env.pop("JAX_PLATFORMS", None)
     port = _free_port()
     out = str(tmp_path / "mp")
-    p0 = _launch_bin(0, 2, port, data_dir, out, env, steps=8, sync_every=2)
-    p1 = _launch_bin(1, 2, port, data_dir, out, env, steps=8, sync_every=2)
+    p0 = _launch_bin(0, 2, port, data_dir, out, env, steps=50, sync_every=2)
+    p1 = _launch_bin(1, 2, port, data_dir, out, env, steps=50, sync_every=2)
     buf0 = _wait_for(p0, b"step=1")  # compile done, training underway
     p1.send_signal(signal.SIGTERM)   # only the non-main rank
     r0, r1 = _finish(p0, buf0), _finish(p1)
-    assert r0["steps"] == r1["steps"] == 8
-    assert not r0["preempted"] and not r1["preempted"]
-    assert r0["loss"] == pytest.approx(r1["loss"], rel=1e-6)
+    assert r0["preempted"] and r1["preempted"]
+    assert r0["steps"] == r1["steps"] < 50
+    assert os.path.exists(os.path.join(out, "train_state.safetensors"))
 
 
 def test_sigterm_on_main_rank_stops_all_ranks(data_dir, tmp_path):
