@@ -126,8 +126,13 @@ def clipseg_mask_generator(
     with torch.no_grad():
         for img, prompt in zip(images, target_prompts):
             original_size = img.size
+            # truncation hardening over the reference (preprocess_files.py:
+            # 98-100): the driver feeds BLIP captions in as target prompts,
+            # and a caption longer than CLIP's 77 positions would crash the
+            # text tower; published-weight captions are short so behavior is
+            # unchanged there
             inputs = processor(text=[prompt], images=[img], padding="max_length",
-                               return_tensors="pt")
+                               truncation=True, return_tensors="pt")
             outputs = model(**inputs)
             logits = outputs.logits
             probs = torch.sigmoid(logits / temp)
