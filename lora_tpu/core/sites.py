@@ -122,6 +122,87 @@ def unet_lora_sites(
     return sites
 
 
+def _locon_attn_extras(prefix: str, spec: structure.AttnSpec) -> List[Site]:
+    """kohya/LyCORIS targets inside a Transformer2DModel beyond the
+    reference's sets: proj_in/proj_out 1x1 convs and the ff output linear
+    (kohya's UNET_TARGET_REPLACE_MODULE covers every Linear/Conv2d child of
+    Transformer2DModel, not just attention+GEGLU)."""
+    c = spec.channels
+    out = [Site(f"{prefix}.proj_in", "conv", c, c)]
+    for k in range(spec.n_blocks):
+        out.append(Site(f"{prefix}.transformer_blocks.{k}.ff.net.2",
+                        "linear", 4 * c, c))
+    out.append(Site(f"{prefix}.proj_out", "conv", c, c))
+    return out
+
+
+def unet_locon_sites(cfg: UNetConfig) -> List[Site]:
+    """The kohya-ss / LyCORIS "LoCon" module superset of the UNet: every
+    Linear/Conv2d inside Transformer2DModel, ResnetBlock2D, Downsample2D,
+    and Upsample2D (kohya's conv_dim targets). A strict superset of
+    `unet_lora_sites(cfg, UNET_EXTENDED_TARGET_REPLACE)`.
+
+    Only for the name-keyed kohya format (formats/kohya.py) and in-pipe
+    patching — the cloneofsimo indexed format cannot express these sites
+    (no class-name target set covers Downsample2D/proj_in; lora.py:159-167),
+    so ordering here follows torch registration for readability but carries
+    no on-disk meaning."""
+
+    def block_sites(prefix: str, block: structure.BlockSpec) -> List[Site]:
+        out: List[Site] = []
+        for j, attn in enumerate(block.attentions):
+            if attn is None:
+                continue
+            pre = f"{prefix}.attentions.{j}"
+            extras = _locon_attn_extras(pre, attn)
+            # registration order: proj_in, per-tb [attn1, ff(.0/.2), attn2],
+            # proj_out
+            out.append(extras[0])
+            attn_sites = _attn_sites(pre, attn)
+            for k in range(attn.n_blocks):
+                out += attn_sites[9 * k: 9 * k + 5]     # attn1 + ff.net.0
+                out.append(extras[1 + k])               # ff.net.2
+                out += attn_sites[9 * k + 5: 9 * k + 9]  # attn2
+            out.append(extras[-1])
+        for j, res in enumerate(block.resnets):
+            out += _resnet_sites(f"{prefix}.resnets.{j}", res)
+        if block.has_downsample:
+            ch = block.resnets[-1].out_channels
+            out.append(Site(f"{prefix}.downsamplers.0.conv", "conv", ch, ch,
+                            kernel=(3, 3), stride=(2, 2), padding=(1, 1)))
+        if block.has_upsample:
+            ch = block.resnets[-1].out_channels
+            out.append(Site(f"{prefix}.upsamplers.0.conv", "conv", ch, ch,
+                            kernel=(3, 3), padding=(1, 1)))
+        return out
+
+    sites: List[Site] = []
+    for i, b in enumerate(structure.down_blocks(cfg)):
+        sites += block_sites(f"down_blocks.{i}", b)
+    sites += block_sites("mid_block", structure.mid_block(cfg))
+    for i, b in enumerate(structure.up_blocks(cfg)):
+        sites += block_sites(f"up_blocks.{i}", b)
+    return sites
+
+
+def text_encoder_locon_sites(cfg: CLIPTextConfig) -> List[Site]:
+    """kohya text-encoder targets: CLIPAttention + CLIPMLP (fc1/fc2) —
+    a superset of the reference's {CLIPAttention}."""
+    d, ff = cfg.hidden_size, cfg.intermediate_size
+    sites: List[Site] = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"text_model.encoder.layers.{i}"
+        sites += [
+            Site(f"{p}.self_attn.k_proj", "linear", d, d),
+            Site(f"{p}.self_attn.v_proj", "linear", d, d),
+            Site(f"{p}.self_attn.q_proj", "linear", d, d),
+            Site(f"{p}.self_attn.out_proj", "linear", d, d),
+            Site(f"{p}.mlp.fc1", "linear", d, ff),
+            Site(f"{p}.mlp.fc2", "linear", ff, d),
+        ]
+    return sites
+
+
 def text_encoder_lora_sites(
     cfg: CLIPTextConfig, target_replace: Optional[Set[str]] = None
 ) -> List[Site]:
@@ -148,6 +229,8 @@ def text_encoder_lora_sites(
 __all__ = [
     "Site",
     "unet_lora_sites",
+    "unet_locon_sites",
     "text_encoder_lora_sites",
+    "text_encoder_locon_sites",
     "UNET_EXTENDED_TARGET_REPLACE",
 ]

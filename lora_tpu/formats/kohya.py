@@ -5,7 +5,11 @@ schema (`lora_unet_<module>_<path>.lora_down.weight` / `.lora_up.weight` /
 `.alpha`); users migrating from cloneofsimo-format files routinely need
 both directions, so this module converts between the formats losslessly
 for the module sets both cover (attention + GEGLU linears and, for
-extended LoRAs, resnet convs).
+extended LoRAs, resnet convs). LoCon files — kohya's conv_dim targets
+over every Linear/Conv2d in Transformer2DModel/ResnetBlock2D/
+{Down,Up}sample2D, optionally CP-decomposed — load fully against the
+LoCon site supersets (core/sites.unet_locon_sites); other LyCORIS
+algorithms (LoHa, LoKr, IA3) are rejected loudly.
 
 Key mapping: our site names ARE diffusers module paths (core/sites.py),
 so the kohya key is `lora_unet_` (or `lora_te_`) + the path with dots
@@ -60,6 +64,32 @@ def _site_index(model: str, sites: Sequence[Site]) -> Dict[str, Site]:
     return {kohya_key(model, s.name): s for s in sites}
 
 
+def _compose_cp_mid(base: str, site: Site, mid: np.ndarray,
+                    down: np.ndarray) -> np.ndarray:
+    """Fold a LoCon CP-decomposed conv into our two-factor form.
+
+    LyCORIS CP convs factor the delta as up(1x1) . mid(kxk, r->r) .
+    down(1x1, in->r); our runtime is down(kxk, original geometry) .
+    up(1x1) (core/lora.lora_delta_conv). Because a 1x1 conv is pure channel
+    mixing, mid . down composes EXACTLY into one kxk conv:
+    down'[r, in, kh, kw] = sum_s mid[r, s, kh, kw] * down[s, in] — no
+    approximation, so CP files load bit-faithfully (up to fp32 rounding)."""
+    if site.kind != "conv":
+        raise ValueError(
+            f"kohya module {base!r} has a lora_mid factor but maps to a "
+            f"linear site; CP decomposition only applies to convs")
+    if down.ndim != 4 or down.shape[2:] != (1, 1) or mid.ndim != 4:
+        raise ValueError(
+            f"kohya module {base!r}: unexpected CP factor shapes "
+            f"down={down.shape} mid={mid.shape} (want down 1x1, mid kxk)")
+    if mid.shape[1] != down.shape[0] or mid.shape[2:] != site.kernel:
+        raise ValueError(
+            f"kohya module {base!r}: CP factors disagree with the site "
+            f"geometry (mid {mid.shape}, down {down.shape}, "
+            f"kernel {site.kernel})")
+    return np.einsum("rskh,sc->rckh", mid, down[:, :, 0, 0])
+
+
 def load_kohya(
     path: str,
     *,
@@ -68,9 +98,14 @@ def load_kohya(
     dtype=np.float32,
 ) -> Tuple[Optional[LoraTree], Optional[LoraTree]]:
     """Returns (lora_unet, lora_text); a model whose sites are not given
-    (or that has no keys in the file) comes back None. Unknown keys — e.g.
-    LoCon conv blocks outside the given site sets — raise with the key
-    names so silent partial loads cannot happen."""
+    (or that has no keys in the file) comes back None.
+
+    LoCon files load fully when given the LoCon site supersets
+    (core/sites.unet_locon_sites / text_encoder_locon_sites) — including
+    CP-decomposed convs, whose mid factor is composed exactly into the
+    down conv (_compose_cp_mid). Unknown keys — modules outside the given
+    site sets, or LoHa/LoKr factor tensors — raise with the key names so
+    silent partial loads cannot happen."""
     with SafetensorsFile(path) as f:
         keys = list(f.keys())
         groups: Dict[str, Dict[str, np.ndarray]] = {}
@@ -85,15 +120,16 @@ def load_kohya(
                 raise ValueError(f"unrecognized kohya key {k!r}")
 
         # a KNOWN site can still carry sub-tensors we don't implement —
-        # e.g. LoCon CP-decomposition's '<site>.lora_mid.weight'. Loading
-        # up@down while ignoring the mid factor would be silently wrong
-        # weights, so reject any group with keys beyond the plain schema.
+        # LoCon's CP '<site>.lora_mid.weight' is composed below; anything
+        # else (LoHa/LoKr factors, etc.) is rejected so silent partial
+        # loads cannot happen.
         for base, g in groups.items():
-            extra = sorted(set(g) - {"lora_up", "lora_down", "alpha"})
+            extra = sorted(set(g) - {"lora_up", "lora_down", "lora_mid",
+                                     "alpha"})
             if extra:
                 raise ValueError(
                     f"kohya module {base!r} has unsupported sub-tensors "
-                    f"{extra} (LoCon/LyCORIS decomposition?); refusing a "
+                    f"{extra} (LyCORIS decomposition?); refusing a "
                     f"partial load")
 
         out = {}
@@ -125,6 +161,10 @@ def load_kohya(
                     continue
                 up = np.asarray(g["lora_up"], np.float32)
                 down = np.asarray(g["lora_down"], np.float32)
+                if "lora_mid" in g:
+                    down = _compose_cp_mid(
+                        kohya_key(model, s.name), s,
+                        np.asarray(g["lora_mid"], np.float32), down)
                 alpha = float(np.asarray(g.get("alpha", down.shape[0])))
                 up = up * (alpha / down.shape[0])  # webui multiplier
                 pairs.append((up, down))

@@ -243,8 +243,10 @@ def unet_forward(
                                  block.attentions[j], lora)
             skips.append(h)
         if block.has_downsample:
+            # lora covers the kohya/LoCon conv targets (core/sites.py
+            # unet_locon_sites); inert for reference-format adapters
             h = conv2d(params, f"{pre}.downsamplers.0.conv", h,
-                       stride=(2, 2), padding=(1, 1))
+                       stride=(2, 2), padding=(1, 1), lora=lora)
             skips.append(h)
 
     mid = structure.mid_block(cfg)
@@ -265,7 +267,8 @@ def unet_forward(
                                  block.attentions[j], lora)
         if block.has_upsample:
             h = upsample_nearest_2x(h)
-            h = conv2d(params, f"{pre}.upsamplers.0.conv", h, padding=(1, 1))
+            h = conv2d(params, f"{pre}.upsamplers.0.conv", h, padding=(1, 1),
+                       lora=lora)
 
     h = group_norm(params, "conv_norm_out", h, cfg.norm_num_groups, cfg.norm_eps)
     h = conv2d(params, "conv_out", silu(h), padding=(1, 1))

@@ -249,19 +249,23 @@ class StableDiffusionPipeline:
         with SafetensorsFile(path) as f:
             if any(k.startswith(("lora_unet_", "lora_te_"))
                    for k in f.keys()):
+                from ..core.sites import (
+                    text_encoder_locon_sites,
+                    unet_locon_sites,
+                )
                 from ..formats.kohya import load_kohya
 
-                # widest site set (extended incl. resnet convs) so kohya
-                # files covering more than attention still load
-                from ..formats.safetensors_io import (
-                    UNET_EXTENDED_TARGET_REPLACE,
-                )
-
-                usites = (self.unet_sites(UNET_EXTENDED_TARGET_REPLACE)
-                          if patch_unet else None)
+                # widest site sets (the kohya/LoCon supersets: every
+                # Linear/Conv2d in transformer+resnet+resampler blocks, and
+                # CLIPAttention+CLIPMLP) so full-conv kohya files load; the
+                # lora pytree applies wherever a site is present, so
+                # attn-only files load identically to before
                 lu, lt = load_kohya(
-                    path, unet_sites=usites,
-                    text_sites=self.text_sites(None) if patch_text else None)
+                    path,
+                    unet_sites=(unet_locon_sites(self.unet_cfg)
+                                if patch_unet else None),
+                    text_sites=(text_encoder_locon_sites(self.text_cfg)
+                                if patch_text else None))
                 if lu is not None:
                     self.lora_unet = lu
                 if lt is not None:

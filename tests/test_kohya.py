@@ -101,17 +101,16 @@ def test_unknown_modules_raise(tmp_path):
         load_kohya(p2, unet_sites=USITES)
 
 
-def test_locon_mid_factor_raises(tmp_path):
-    """LoCon CP-decomposition adds '<site>.lora_mid.weight' to otherwise
-    known sites; loading up@down while dropping the mid factor would be
-    silently wrong weights, so the loader must reject the group loudly
-    (names the module) instead of partial-loading."""
+def test_locon_mid_factor_on_linear_raises(tmp_path):
+    """A CP mid factor only makes sense on a conv site; one attached to a
+    linear module must be rejected loudly (names the module) instead of
+    partial-loading up@down without it."""
     lu, _ = make_loras(17)
     p = str(tmp_path / "k.safetensors")
     save_kohya(p, lora_unet=lu, unet_sites=USITES)
     with SafetensorsFile(p) as f:
         tensors = {k: f.get_tensor(k) for k in f.keys()}
-    # attach a CP mid factor to a known attention site (LyCORIS layout)
+    # attach a CP mid factor to a known attention (linear) site
     site_key = kohya_key("unet", USITES[0].name)
     tensors[site_key + ".lora_mid.weight"] = np.zeros((2, 2, 1, 1),
                                                       np.float16)
@@ -120,6 +119,122 @@ def test_locon_mid_factor_raises(tmp_path):
     with pytest.raises(ValueError, match="lora_mid") as ei:
         load_kohya(p2, unet_sites=USITES)
     assert USITES[0].name.replace(".", "_") in str(ei.value)
+
+
+def test_loha_factors_raise(tmp_path):
+    """Non-LoCon LyCORIS algorithms (LoHa hadamard factors) stay loudly
+    rejected — we never partial-load a decomposition we don't implement."""
+    lu, _ = make_loras(19)
+    p = str(tmp_path / "k.safetensors")
+    save_kohya(p, lora_unet=lu, unet_sites=USITES)
+    with SafetensorsFile(p) as f:
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
+    site_key = kohya_key("unet", USITES[0].name)
+    tensors[site_key + ".hada_w1_a"] = np.zeros((2, 4), np.float16)
+    p2 = str(tmp_path / "loha.safetensors")
+    save_file(tensors, p2)
+    with pytest.raises(ValueError, match="unrecognized kohya key"):
+        load_kohya(p2, unet_sites=USITES)
+
+
+def _conv_nhwc(x, w, stride=(1, 1), padding=(0, 0)):
+    import jax.lax as lax
+
+    return lax.conv_general_dilated(
+        x, jnp.asarray(w), window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+
+
+def test_locon_cp_conv_composes_exactly(tmp_path):
+    """A CP-decomposed conv (up 1x1 . mid kxk . down 1x1, the LyCORIS
+    LoCon layout) loads by folding mid.down into one kxk down conv; the
+    loaded delta must equal the explicit three-conv chain to rounding."""
+    from lora_tpu.core.lora import lora_delta_conv
+    from lora_tpu.core.sites import unet_locon_sites
+
+    sites = unet_locon_sites(TINY_UNET)
+    site = next(s for s in sites if s.name.endswith("resnets.0.conv1"))
+    r, rng = 3, np.random.RandomState(0)
+    down = rng.randn(r, site.in_dim, 1, 1).astype(np.float32)
+    mid = rng.randn(r, r, *site.kernel).astype(np.float32)
+    up = rng.randn(site.out_dim, r, 1, 1).astype(np.float32)
+    key = kohya_key("unet", site.name)
+    save_file({key + ".lora_down.weight": down.astype(np.float16),
+               key + ".lora_mid.weight": mid.astype(np.float16),
+               key + ".lora_up.weight": up.astype(np.float16),
+               key + ".alpha": np.asarray(float(r), np.float16)},
+              str(tmp_path / "cp.safetensors"))
+    lu, _ = load_kohya(str(tmp_path / "cp.safetensors"), unet_sites=sites)
+    assert set(lu["sites"]) == {site.name}
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 6, site.in_dim))
+    got = lora_delta_conv(x, lu["sites"][site.name], lu["scale"],
+                          site.stride, site.padding)
+    h = _conv_nhwc(x, down.astype(np.float16).astype(np.float32))
+    h = _conv_nhwc(h, mid.astype(np.float16).astype(np.float32),
+                   site.stride, site.padding)
+    want = _conv_nhwc(h, up.astype(np.float16).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_locon_full_file_patches_and_applies(tmp_path):
+    """A full-conv LoCon file — modules beyond the reference's target sets
+    (proj_in/proj_out, ff.net.2, down/upsampler convs) plus a CP conv —
+    autoloads through patch_pipe and changes the UNet forward."""
+    from lora_tpu.core.lora import init_lora
+    from lora_tpu.core.sites import (
+        text_encoder_locon_sites,
+        unet_locon_sites,
+    )
+    from lora_tpu.models.unet import unet_forward
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    usites = unet_locon_sites(TINY_UNET)
+    tsites = text_encoder_locon_sites(TINY_TEXT)
+    extras = [s for s in usites
+              if ("proj_in" in s.name or "proj_out" in s.name
+                  or "ff.net.2" in s.name or "samplers" in s.name)]
+    assert extras, "locon superset lost its extra modules"
+    lu = init_lora(extras, r=2, rng=jax.random.PRNGKey(21))
+    lt = init_lora(tsites[:6], r=2, rng=jax.random.PRNGKey(22))
+    for lora in (lu, lt):
+        for i, e in enumerate(sorted(lora["sites"])):
+            lora["sites"][e]["up"] = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(300 + i), lora["sites"][e]["up"].shape)
+    p = str(tmp_path / "locon.safetensors")
+    save_kohya(p, lora_unet=lu, unet_sites=extras,
+               lora_text=lt, text_sites=tsites[:6])
+    # add one CP-decomposed resnet conv on top
+    with SafetensorsFile(p) as f:
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
+    site = next(s for s in usites if s.name.endswith("resnets.0.conv1"))
+    rng = np.random.RandomState(1)
+    key = kohya_key("unet", site.name)
+    tensors[key + ".lora_down.weight"] = \
+        rng.randn(2, site.in_dim, 1, 1).astype(np.float16)
+    tensors[key + ".lora_mid.weight"] = \
+        (0.1 * rng.randn(2, 2, *site.kernel)).astype(np.float16)
+    tensors[key + ".lora_up.weight"] = \
+        (0.1 * rng.randn(site.out_dim, 2, 1, 1)).astype(np.float16)
+    save_file(tensors, p)
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT)
+    pipe.patch_pipe(p)
+    loaded = set(pipe.lora_unet["sites"])
+    assert {s.name for s in extras} | {site.name} == loaded
+    assert len(pipe.lora_text["sites"]) == 6
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4))
+    t = jnp.asarray([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(6),
+                            (1, 4, TINY_UNET.cross_attention_dim))
+    base = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET, lora=None)
+    patched = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET,
+                           lora=pipe.lora_unet)
+    assert float(jnp.abs(patched - base).max()) > 1e-6
 
 
 def test_patch_pipe_autodetects_kohya(tmp_path):
