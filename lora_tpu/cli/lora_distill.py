@@ -21,21 +21,37 @@ def svd_distill_cli(
     device: str = "tpu",  # accepted for recipe compat; jax picks the backend
     save_path: str = "svd_distill.safetensors",
     extended: bool = False,
+    locon: bool = False,
 ):
-    from ..core.sites import text_encoder_lora_sites, unet_lora_sites
+    """`--locon` distills over the full kohya/LoCon module superset (every
+    Linear/Conv2d in transformer, resnet, and resampler blocks + CLIP MLP)
+    and writes a kohya-schema file — the reference-format file cannot
+    express those sites, and LoCon is a kohya-ecosystem concept. Beyond
+    cli_svd.py: the reference cannot produce full-conv distillations."""
+    from ..core.sites import (
+        text_encoder_locon_sites,
+        text_encoder_lora_sites,
+        unet_locon_sites,
+        unet_lora_sites,
+    )
     from ..models.hf_import import load_pipeline_params
 
     del device
     base_unet, base_text, _, (ucfg, tcfg, _) = load_pipeline_params(base_model)
     tuned_unet, tuned_text, _, _ = load_pipeline_params(target_model)
 
-    # The reference injects extended targets but extracts/saves the default
-    # set (cli_svd.py:112 + save_all default), so resnet factors never reach
-    # the artifact; we compute exactly what we save. --extended keeps them.
-    unet_targets = (UNET_EXTENDED_TARGET_REPLACE if extended
-                    else UNET_DEFAULT_TARGET_REPLACE)
-    usites = unet_lora_sites(ucfg, unet_targets)
-    tsites = text_encoder_lora_sites(tcfg)
+    if locon:
+        usites = unet_locon_sites(ucfg)
+        tsites = text_encoder_locon_sites(tcfg)
+    else:
+        # The reference injects extended targets but extracts/saves the
+        # default set (cli_svd.py:112 + save_all default), so resnet factors
+        # never reach the artifact; we compute exactly what we save.
+        # --extended keeps them.
+        unet_targets = (UNET_EXTENDED_TARGET_REPLACE if extended
+                        else UNET_DEFAULT_TARGET_REPLACE)
+        usites = unet_lora_sites(ucfg, unet_targets)
+        tsites = text_encoder_lora_sites(tcfg)
 
     print(f"SVD distilling {len(usites)} unet + {len(tsites)} text sites "
           f"at rank {rank}")
@@ -44,10 +60,16 @@ def svd_distill_cli(
     lora_text = svd_distill(base_text, tuned_text, tsites, rank,
                             clamp_quantile)
 
-    save_all(save_path, lora_unet=lora_unet, unet_sites=usites,
-             lora_text=lora_text, text_sites=tsites, save_ti=False,
-             target_replace_module_unet=unet_targets,
-             target_replace_module_text=TEXT_ENCODER_DEFAULT_TARGET_REPLACE)
+    if locon:
+        from ..formats.kohya import save_kohya
+
+        save_kohya(save_path, lora_unet=lora_unet, unet_sites=usites,
+                   lora_text=lora_text, text_sites=tsites)
+    else:
+        save_all(save_path, lora_unet=lora_unet, unet_sites=usites,
+                 lora_text=lora_text, text_sites=tsites, save_ti=False,
+                 target_replace_module_unet=unet_targets,
+                 target_replace_module_text=TEXT_ENCODER_DEFAULT_TARGET_REPLACE)
     print(f"Saved to {save_path}")
 
 

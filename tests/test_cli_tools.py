@@ -128,6 +128,47 @@ def test_svd_distill_recovers_low_rank(pipe):
                                    atol=2e-4)
 
 
+def test_svd_distill_locon_roundtrip(pipe, tmp_path):
+    """The --locon distillation path end to end: a fine-tune whose residual
+    lives on LoCon-only modules (downsampler conv, ff output linear,
+    proj_in) distills over the LoCon superset, saves in the kohya schema,
+    and — loaded back through patch_pipe — reproduces the tuned forward."""
+    from lora_tpu.core.sites import unet_locon_sites
+    from lora_tpu.formats.kohya import save_kohya
+    from lora_tpu.models.unet import unet_forward
+
+    locon = unet_locon_sites(TINY_UNET)
+    picked = [next(s for s in locon if "downsamplers" in s.name),
+              next(s for s in locon if s.name.endswith("ff.net.2")),
+              next(s for s in locon if s.name.endswith("proj_in"))]
+    assert all(s.name not in {t.name for t in pipe.unet_sites()}
+               for s in picked), "these must be LoCon-only modules"
+    lora = init_lora(picked, r=2, rng=jax.random.PRNGKey(8))
+    ks = jax.random.split(jax.random.PRNGKey(9), len(lora["sites"]))
+    for (n, e), k in zip(sorted(lora["sites"].items()), ks):
+        e["up"] = jax.random.normal(k, e["up"].shape) * 0.05
+    tuned = collapse_lora(pipe.unet_params, lora, alpha=1.0)
+
+    distilled = svd_distill(pipe.unet_params, tuned, locon, rank=2,
+                            clamp_quantile=1.0)
+    p = str(tmp_path / "locon_distill.safetensors")
+    save_kohya(p, lora_unet=distilled, unet_sites=locon)
+
+    fresh = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    fresh.patch_pipe(p, patch_text=False)
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 8, 8, 4))
+    t = jnp.asarray([3])
+    ctx = jax.random.normal(jax.random.PRNGKey(11),
+                            (1, 4, TINY_UNET.cross_attention_dim))
+    want = unet_forward(tuned, x, t, ctx, TINY_UNET)
+    got = unet_forward(fresh.unet_params, x, t, ctx, TINY_UNET,
+                       lora=fresh.lora_unet)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)  # fp16 kohya storage
+
+
 def test_svd_distill_conv_shapes():
     from lora_tpu.core.sites import Site
     from lora_tpu.core.svd import svd_distill_site
