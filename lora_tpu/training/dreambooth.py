@@ -63,6 +63,11 @@ class DreamBoothConfig:
     resume_state: Optional[str] = None  # full train-state checkpoint
     save_train_state: bool = False
     output_format: str = "both"  # pt | safe | both
+    # which modules carry LoRA: "default" (attention+GEGLU, the reference
+    # DreamBooth set), "extended" (+ResnetBlock2D convs), or "locon" (the
+    # kohya full-conv superset incl. resampler convs + CLIP MLP; saves in
+    # the kohya schema since the indexed format can't express those sites)
+    lora_targets: str = "default"
     mixed_precision: Optional[str] = None  # None | "bf16"
     cached_latents: bool = False
     cache_text_embeddings: bool = True  # auto-disabled when text trains
@@ -131,7 +136,33 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     # per-chip batch semantics: every chip sees train_batch_size examples
     global_batch = cfg.train_batch_size * dp
 
-    usites = unet_lora_sites(pipe.unet_cfg)
+    if cfg.lora_targets == "locon":
+        from ..core.sites import text_encoder_locon_sites, unet_locon_sites
+
+        if cfg.output_format != "safe":
+            raise ValueError(
+                "lora_targets='locon' saves in the kohya schema only; set "
+                "output_format='safe' (the flat .pt list has no key names "
+                "to carry the extra modules)")
+        if cfg.resume_unet or cfg.resume_text_encoder:
+            raise ValueError(
+                "lora_targets='locon' does not support .pt adapter resume; "
+                "use save_train_state/resume_state for run continuation")
+        usites = unet_locon_sites(pipe.unet_cfg)
+        tsites = text_encoder_locon_sites(pipe.text_cfg)
+    elif cfg.lora_targets == "extended":
+        from ..formats.safetensors_io import UNET_EXTENDED_TARGET_REPLACE
+
+        usites = unet_lora_sites(pipe.unet_cfg,
+                                 set(UNET_EXTENDED_TARGET_REPLACE))
+        tsites = text_encoder_lora_sites(pipe.text_cfg)
+    elif cfg.lora_targets == "default":
+        usites = unet_lora_sites(pipe.unet_cfg)
+        tsites = text_encoder_lora_sites(pipe.text_cfg)
+    else:
+        raise ValueError(
+            f"lora_targets must be default|extended|locon, "
+            f"got {cfg.lora_targets!r}")
     trainable = {
         "lora_unet": lora_core.init_lora(
             usites, r=cfg.lora_rank, rng=jax.random.PRNGKey(cfg.seed)),
@@ -139,7 +170,6 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     if cfg.resume_unet:
         trainable["lora_unet"] = lora_core.lora_from_flat(
             pt_io.load_lora_pt(cfg.resume_unet), usites)
-    tsites = text_encoder_lora_sites(pipe.text_cfg)
     if cfg.train_text_encoder:
         trainable["lora_text"] = lora_core.init_lora(
             tsites, r=cfg.lora_rank, rng=jax.random.PRNGKey(cfg.seed + 1))
@@ -269,11 +299,28 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         if not main:
             return
         name = ("lora_weight" if final else f"lora_weight_s{step_tag}")
+        if cfg.lora_targets == "locon":
+            from ..formats.kohya import save_kohya
+
+            save_kohya(os.path.join(cfg.output_dir, name + ".safetensors"),
+                       lora_unet=trainable.get("lora_unet"),
+                       unet_sites=usites,
+                       lora_text=trainable.get("lora_text"),
+                       text_sites=tsites)
+            return
         if cfg.output_format in ("safe", "both"):
+            from ..formats.safetensors_io import (
+                UNET_DEFAULT_TARGET_REPLACE,
+                UNET_EXTENDED_TARGET_REPLACE,
+            )
+
+            utargets = (UNET_EXTENDED_TARGET_REPLACE
+                        if cfg.lora_targets == "extended"
+                        else UNET_DEFAULT_TARGET_REPLACE)
             save_all(os.path.join(cfg.output_dir, name + ".safetensors"),
                      lora_unet=trainable.get("lora_unet"), unet_sites=usites,
                      lora_text=trainable.get("lora_text"), text_sites=tsites,
-                     save_ti=False)
+                     save_ti=False, target_replace_module_unet=utargets)
         if cfg.output_format in ("pt", "both"):
             save_all(os.path.join(cfg.output_dir, name + ".pt"),
                      lora_unet=trainable.get("lora_unet"), unet_sites=usites,

@@ -79,6 +79,67 @@ def test_dreambooth_cached_latents(pipe, image_dir, tmp_path):
     assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
 
 
+def test_dreambooth_locon_targets(pipe, image_dir, tmp_path):
+    """lora_targets='locon' trains the full-conv kohya superset and saves a
+    kohya-schema artifact that patch_pipe reloads; LoCon-only modules (up
+    zero-init) must have received gradient."""
+    import dataclasses
+
+    out = str(tmp_path / "db_locon")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=2, save_steps=0, train_text_encoder=True,
+        lora_targets="locon", output_format="safe", learning_rate=1e-2,
+        seed=0)
+    res = train_dreambooth(dataclasses.replace(pipe), cfg)
+    assert res["steps"] == 2 and np.isfinite(res["final_loss"])
+    path = os.path.join(out, "lora_weight.safetensors")
+    from lora_tpu.formats.reader import SafetensorsFile
+
+    with SafetensorsFile(path) as f:
+        keys = list(f.keys())
+    assert any("downsamplers_0_conv.lora_up" in k for k in keys)
+    assert any("ff_net_2.lora_up" in k for k in keys)
+    assert any("mlp_fc1.lora_up" in k for k in keys)
+
+    p2 = dataclasses.replace(pipe)
+    p2.patch_pipe(path)
+    down_site = next(n for n in p2.lora_unet["sites"]
+                     if "downsamplers" in n)
+    assert float(np.abs(np.asarray(
+        p2.lora_unet["sites"][down_site]["up"])).max()) > 0, \
+        "locon-only conv site never received gradient"
+
+    # pt output cannot carry locon sites -> loud config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kohya schema"):
+        train_dreambooth(dataclasses.replace(pipe), dataclasses.replace(
+            cfg, output_format="both"))
+
+
+def test_dreambooth_extended_targets_metadata(pipe, image_dir, tmp_path):
+    """lora_targets='extended' trains resnet conv sites and the saved file
+    declares the extended target set so reload injects the same sites."""
+    import dataclasses
+
+    out = str(tmp_path / "db_ext")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir, output_dir=out,
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=1, save_steps=0, lora_targets="extended",
+        output_format="safe", seed=0)
+    res = train_dreambooth(dataclasses.replace(pipe), cfg)
+    assert res["steps"] == 1
+    loras, _ = load_safeloras_both(
+        os.path.join(out, "lora_weight.safetensors"))
+    assert "ResnetBlock2D" in loras["unet"][2]
+    p2 = dataclasses.replace(pipe)
+    p2.patch_pipe(os.path.join(out, "lora_weight.safetensors"))
+    assert any(n.endswith(".conv1") for n in p2.lora_unet["sites"])
+
+
 def test_pti_end_to_end(pipe, image_dir, tmp_path):
     import dataclasses
 
