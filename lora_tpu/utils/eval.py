@@ -56,18 +56,21 @@ EXAMPLE_PROMPTS = [
 
 def image_grid(imgs: List[Image.Image], rows: Optional[int] = None,
                cols: Optional[int] = None) -> Image.Image:
-    """Tile PIL images (reference utils.py:54-70)."""
+    """Tile equally-sized images into a rows x cols contact sheet
+    (role of reference utils.py:54-70), as one numpy block-reshape."""
+    n = len(imgs)
     if rows is None and cols is None:
-        rows = cols = math.ceil(len(imgs) ** 0.5)
+        rows = cols = math.ceil(n ** 0.5)
     elif rows is None:
-        rows = math.ceil(len(imgs) / cols)
+        rows = math.ceil(n / cols)
     elif cols is None:
-        cols = math.ceil(len(imgs) / rows)
-    w, h = imgs[0].size
-    grid = Image.new("RGB", (cols * w, rows * h))
-    for i, img in enumerate(imgs):
-        grid.paste(img, ((i % cols) * w, (i // cols) * h))
-    return grid
+        cols = math.ceil(n / rows)
+    h, w = np.asarray(imgs[0]).shape[:2]
+    sheet = np.zeros((rows * cols, h, w, 3), np.uint8)
+    sheet[:n] = [np.asarray(im.convert("RGB")) for im in imgs]
+    sheet = (sheet.reshape(rows, cols, h, w, 3)
+             .transpose(0, 2, 1, 3, 4).reshape(rows * h, cols * w, 3))
+    return Image.fromarray(sheet)
 
 
 def to_pil(arr: np.ndarray) -> Image.Image:
