@@ -38,7 +38,9 @@ from .core.lora import (  # noqa: F401
 )
 from .core.sites import (  # noqa: F401
     Site,
+    text_encoder_locon_sites,
     text_encoder_lora_sites,
+    unet_locon_sites,
     unet_lora_sites,
 )
 
