@@ -17,10 +17,63 @@ the program being timed.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+BASELINE_STEPS_PER_SEC_PER_CHIP = 800.0 / 120.0 / 8.0  # 0.833
+PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) per chip
+
+METRIC_NAME = "dreambooth_lora_rank4_train_steps_per_sec_per_chip"
+
+# The tunnel backend has been observed to hang *forever* at init (0 CPU,
+# killed after 25 min in the round-3 capture).  A blocked jax.devices() in
+# this process cannot be interrupted, so the availability probe runs in a
+# subprocess with a hard timeout; only after it succeeds do we touch the
+# backend in-process.
+import os
+
+_PROBE_ATTEMPTS = int(os.environ.get("LORA_BENCH_PROBE_ATTEMPTS", "5"))
+_PROBE_TIMEOUT_S = int(os.environ.get("LORA_BENCH_PROBE_TIMEOUT", "150"))
+_PROBE_BACKOFF_S = int(os.environ.get("LORA_BENCH_PROBE_BACKOFF", "10"))
+
+
+def _probe_backend():
+    """Bounded-retry backend probe. Returns None on success, else an error
+    string describing the terminal failure (timeouts count)."""
+    last = "unknown"
+    for attempt in range(_PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=_PROBE_TIMEOUT_S)
+            if r.returncode == 0:
+                return None
+            last = (r.stderr or r.stdout).strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hung >{_PROBE_TIMEOUT_S}s (probe killed)"
+        time.sleep(_PROBE_BACKOFF_S * (attempt + 1))
+    return last
+
+
+def _emit_unavailable(err: str):
+    """One parseable JSON line so a failed capture is machine-distinguishable
+    from a perf regression (the round-3 capture was an unstructured rc=1
+    traceback)."""
+    print(json.dumps({
+        "metric": METRIC_NAME, "value": None, "unit": "steps/sec/chip",
+        "vs_baseline": None, "backend_unavailable": True,
+        "error": err[-400:],
+    }))
+
+
+err = _probe_backend()
+if err is not None:
+    _emit_unavailable(err)
+    sys.exit(0)
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +82,6 @@ from lora_tpu.utils import compile_cache
 
 # persistent compile cache: repeat bench runs skip the big XLA compiles
 compile_cache.enable("/root/repo/.jax_cache")
-
-BASELINE_STEPS_PER_SEC_PER_CHIP = 800.0 / 120.0 / 8.0  # 0.833
-PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) per chip
 
 
 def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
@@ -71,6 +121,7 @@ def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
     rng0 = jax.random.PRNGKey(7)
 
     compiled = step.lower(trainable, opt_state, base, batch, rng0).compile()
+    mem = _memory_analysis(compiled)
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -111,7 +162,35 @@ def _bench_config(batch_size, cached, models, n_steps=30, windows=3):
         peak_gb = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2) or None
     except Exception:
         peak_gb = None
-    return sps, mfu, flops, peak_gb
+    if peak_gb is None and mem:
+        # runtime stats are unavailable through the tunnel; fall back to the
+        # compile-time estimate from XLA's memory analysis (labeled as such
+        # via hbm_source so the two are never conflated)
+        peak_gb = mem.get("total_gb")
+    return sps, mfu, flops, peak_gb, mem
+
+
+def _memory_analysis(compiled):
+    """Compile-time HBM estimate from the AOT executable — works without
+    runtime memory_stats (which the tunnel does not forward)."""
+    try:
+        ma = compiled.memory_analysis()
+        if isinstance(ma, (list, tuple)):
+            ma = ma[0]
+        g = lambda name: getattr(ma, name, 0) or 0
+        arg = g("argument_size_in_bytes")
+        out = g("output_size_in_bytes")
+        alias = g("alias_size_in_bytes")
+        tmp = g("temp_size_in_bytes")
+        code = g("generated_code_size_in_bytes")
+        total = arg + out - alias + tmp + code
+        gb = lambda b: round(b / 2**30, 3)
+        return {"source": "xla_memory_analysis_compile_time",
+                "argument_gb": gb(arg), "output_gb": gb(out),
+                "alias_gb": gb(alias), "temp_gb": gb(tmp),
+                "code_gb": gb(code), "total_gb": gb(total)}
+    except Exception:
+        return {}
 
 
 def _make_models(need_vae: bool):
@@ -136,41 +215,74 @@ def one(spec: str):
     bs, kind = spec.split(":")
     cached = kind == "cached"
     models = _make_models(need_vae=not cached)
-    s, m, fl, peak = _bench_config(int(bs), cached=cached, models=models,
-                                   n_steps=15, windows=2)
+    s, m, fl, peak, mem = _bench_config(int(bs), cached=cached, models=models,
+                                        n_steps=15, windows=2)
     print(json.dumps({"config": spec, "steps_per_sec": round(s, 3),
                       "images_per_sec": round(s * int(bs), 2),
                       "mfu_pct": m, "flops_per_step": fl,
-                      "peak_hbm_gb": peak}))
+                      "peak_hbm_gb": peak, "memory_analysis": mem}))
+
+
+def mem_table():
+    """`--mem`: compile-time HBM table (no timed runs) — train bs 1/8 plus
+    the 50-step CFG sampling loop, against the reference's ">12 GB GPU for
+    PTI" claim (reference README.md:137). AOT-compile only; uses the
+    persistent cache, so warm runs are fast."""
+    from lora_tpu.models.config import SD15_UNET
+    from lora_tpu.pipelines.sd import _denoise_loop
+
+    models = _make_models(need_vae=False)
+    rows = {}
+    for bs in (1, 8):
+        _, _, _, _, mem = _bench_config(bs, cached=True, models=models,
+                                        n_steps=0, windows=0)
+        rows[f"train_cached_bs{bs}"] = mem
+    try:
+        unet_p, _, _, sched, _ = models
+        steps = 50
+        ts = jnp.arange(999, -1, -1000 // steps, jnp.int32)
+        emb = jnp.zeros((1, 77, 768), jnp.bfloat16)
+        compiled = _denoise_loop.lower(
+            unet_p, None, jnp.zeros((1, 64, 64, 4), jnp.bfloat16),
+            emb, emb, jnp.float32(7.5), ts, sched.alphas_cumprod,
+            jnp.float32(sched.final_alpha_cumprod), unet_cfg=SD15_UNET,
+            num_inference_steps=steps, use_cfg=True,
+            method="ddim").compile()
+        rows["sample_50step_cfg_512"] = _memory_analysis(compiled)
+    except Exception as e:  # sampling-loop lowering is best-effort here
+        rows["sample_50step_cfg_512"] = {"error": str(e)[-200:]}
+    print(json.dumps({"metric": "compiled_hbm_estimate",
+                      "unit": "GB", "rows": rows}))
 
 
 def main(full: bool = False):
     models = _make_models(need_vae=full)
 
-    sps, mfu, flops, peak = _bench_config(1, cached=True, models=models)
+    sps, mfu, flops, peak, mem = _bench_config(1, cached=True, models=models)
     out = {
-        "metric": "dreambooth_lora_rank4_train_steps_per_sec_per_chip",
+        "metric": METRIC_NAME,
         "value": round(sps, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
         "mfu_pct": mfu,
         "flops_per_step": flops,
         "peak_hbm_gb": peak,
+        "memory_analysis": mem,
     }
 
     if full:
         scaling = {}
         for bs in (4, 8):
-            s, m, _, _ = _bench_config(bs, cached=True, models=models,
-                                       n_steps=15, windows=2)
+            s, m, _, _, _ = _bench_config(bs, cached=True, models=models,
+                                          n_steps=15, windows=2)
             scaling[str(bs)] = {"steps_per_sec": round(s, 3),
                                 "images_per_sec": round(s * bs, 2),
                                 "mfu_pct": m}
         out["batch_scaling_cached"] = scaling
         unc = {}
         for bs in (1, 4):
-            s, m, _, _ = _bench_config(bs, cached=False, models=models,
-                                       n_steps=15, windows=2)
+            s, m, _, _, _ = _bench_config(bs, cached=False, models=models,
+                                          n_steps=15, windows=2)
             unc[str(bs)] = {"steps_per_sec": round(s, 3),
                             "images_per_sec": round(s * bs, 2),
                             "mfu_pct": m}
@@ -180,7 +292,17 @@ def main(full: bool = False):
 
 
 if __name__ == "__main__":
-    if "--one" in sys.argv[1:]:
-        one(sys.argv[sys.argv.index("--one") + 1])
-    else:
-        main(full="--full" in sys.argv[1:])
+    try:
+        if "--one" in sys.argv[1:]:
+            one(sys.argv[sys.argv.index("--one") + 1])
+        elif "--mem" in sys.argv[1:]:
+            mem_table()
+        else:
+            main(full="--full" in sys.argv[1:])
+    except Exception as e:
+        # a backend that passed the probe but died mid-run still produces a
+        # parseable record rather than a bare traceback
+        if "UNAVAILABLE" in str(e) or "backend" in str(e).lower():
+            _emit_unavailable(str(e))
+            sys.exit(0)
+        raise
