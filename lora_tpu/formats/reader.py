@@ -13,9 +13,11 @@ optional ``"__metadata__"`` dict of string key/value pairs.
 This mirrors the role of the reference's pure-python fallback reader
 (/root/reference/lora_diffusion/safe_open.py) but is a fresh implementation
 on numpy mmap views (zero-copy reads) and also implements *writing*, which
-the reference fallback does not.  When the in-tree C accelerator
-(lora_tpu.native) is built, header parsing and mmap setup are delegated to
-it; behavior is identical.
+the reference fallback does not.  Unlike the reference fallback (which
+never validated input), every header entry is checked at open time — dtype,
+offset bounds, byte-length/shape agreement, cross-tensor overlap — so a
+corrupt or adversarial file fails loudly here instead of returning garbage
+tensors (pinned by tests/test_formats_adversarial.py).
 """
 
 from __future__ import annotations
@@ -80,13 +82,89 @@ class SafetensorsFile:
         except Exception:
             os.close(self._fd)
             raise
+        try:
+            self._parse_header(path)
+        except Exception:
+            self.close()
+            raise
+
+    def _parse_header(self, path: str) -> None:
+        if len(self._mm) < 8:
+            raise ValueError(
+                f"corrupt safetensors header in {path}: file shorter than "
+                "the 8-byte length prefix")
         header_len = int.from_bytes(self._mm[:8], "little")
         if header_len > len(self._mm) - 8:
             raise ValueError(f"corrupt safetensors header in {path}")
-        header = json.loads(self._mm[8 : 8 + header_len].decode("utf-8"))
+        try:
+            header = json.loads(self._mm[8 : 8 + header_len].decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise ValueError(
+                f"corrupt safetensors header in {path}: not valid JSON "
+                f"({e})") from e
+        if not isinstance(header, dict):
+            raise ValueError(
+                f"corrupt safetensors header in {path}: header is not an "
+                "object")
         self._metadata: Dict[str, str] = header.pop("__metadata__", {}) or {}
         self._entries: Dict[str, dict] = header
         self._data_start = 8 + header_len
+        self._validate_entries()
+
+    def _validate_entries(self) -> None:
+        """Reject malformed entries at open time so corruption fails loudly
+        here rather than as an opaque numpy error (or worse, a silently
+        garbage tensor) at first get_tensor().  Checks per entry: known
+        dtype, well-formed in-bounds offsets, and byte length == dtype
+        itemsize x prod(shape).  Across entries: no overlapping data ranges
+        (two names aliasing the same bytes is corruption, not sharing)."""
+        data_len = len(self._mm) - self._data_start
+        spans = []
+        for name, ent in self._entries.items():
+            if not isinstance(ent, dict) or not {
+                    "dtype", "shape", "data_offsets"} <= set(ent):
+                raise ValueError(
+                    f"corrupt safetensors header in {self.path}: entry "
+                    f"{name!r} is not a tensor record")
+            if ent["dtype"] not in _DTYPES:
+                raise ValueError(
+                    f"unsupported safetensors dtype {ent['dtype']!r} for "
+                    f"tensor {name!r} in {self.path} "
+                    f"(supported: {sorted(_DTYPES)})")
+            off = ent["data_offsets"]
+            if (not isinstance(off, (list, tuple)) or len(off) != 2
+                    or not all(isinstance(o, int) for o in off)):
+                raise ValueError(
+                    f"corrupt safetensors header in {self.path}: bad "
+                    f"data_offsets for tensor {name!r}")
+            begin, end = off
+            if begin < 0 or end < begin or end > data_len:
+                raise ValueError(
+                    f"truncated or corrupt safetensors file {self.path}: "
+                    f"tensor {name!r} spans [{begin}, {end}) but only "
+                    f"{data_len} data bytes are present")
+            shape = ent["shape"]
+            if (not isinstance(shape, list)
+                    or not all(isinstance(d, int) and d >= 0 for d in shape)):
+                raise ValueError(
+                    f"corrupt safetensors header in {self.path}: bad shape "
+                    f"for tensor {name!r}")
+            n = 1
+            for d in shape:
+                n *= d
+            want = n * _DTYPES[ent["dtype"]].itemsize
+            if end - begin != want:
+                raise ValueError(
+                    f"corrupt safetensors file {self.path}: tensor {name!r} "
+                    f"shape {shape} x {ent['dtype']} needs {want} bytes but "
+                    f"data_offsets give {end - begin}")
+            spans.append((begin, end, name))
+        spans.sort()
+        for (b0, e0, n0), (b1, e1, n1) in zip(spans, spans[1:]):
+            if b1 < e0:
+                raise ValueError(
+                    f"corrupt safetensors file {self.path}: tensors {n0!r} "
+                    f"and {n1!r} have overlapping data ranges")
 
     # -- reader API ---------------------------------------------------------
     def keys(self) -> List[str]:
