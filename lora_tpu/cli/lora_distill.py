@@ -37,6 +37,11 @@ def svd_distill_cli(
     from ..models.hf_import import load_pipeline_params
 
     del device
+    if locon and extended:
+        raise ValueError(
+            "--extended and --locon are conflicting target flags: locon "
+            "already covers the extended (resnet/conv) sites via the kohya "
+            "schema; pass exactly one")
     base_unet, base_text, _, (ucfg, tcfg, _) = load_pipeline_params(base_model)
     tuned_unet, tuned_text, _, _ = load_pipeline_params(target_model)
 

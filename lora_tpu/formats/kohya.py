@@ -132,6 +132,18 @@ def load_kohya(
                     f"{extra} (LyCORIS decomposition?); refusing a "
                     f"partial load")
 
+        # every base must belong to one of the two known model prefixes;
+        # anything else (e.g. SDXL's lora_te1_/lora_te2_) would be silently
+        # skipped by both model passes below — reject instead
+        foreign = [b for b in groups
+                   if not any(b.startswith(p + "_")
+                              for p in _PREFIX.values())]
+        if foreign:
+            raise ValueError(
+                f"kohya file has modules under unknown prefixes "
+                f"(SDXL/unsupported model?): {sorted(foreign)[:5]}"
+                f"{'...' if len(foreign) > 5 else ''}")
+
         out = {}
         for model, sites in (("unet", unet_sites),
                              ("text_encoder", text_sites)):

@@ -8,8 +8,9 @@ Wraps a StableDiffusionPipeline behind an HTTP API (stdlib-only):
                     "deadline_ms": float}
                    -> {"images": [base64 PNG, ...], "latency_ms": float,
                        "batched_with": int}
-                   -> 503 {"error": ...} when the queue is at max_queue
-                      or the server is draining for shutdown
+                   -> 503 {"error": ...} when queued ROWS reach max_queue
+                      (prompt lists count once per prompt) or the server is
+                      draining for shutdown
   GET  /healthz    -> {"ok": true, "devices": [...], "draining": bool}
   GET  /metrics    -> counters: requests/images served, shed count, embed
                       cache hits/misses, queue depth, exec-time EWMA,
@@ -106,11 +107,13 @@ class PipelineServer:
                 f"max_batch {max_batch}, or batches between them would "
                 f"compile fresh shapes at serve time")
         self.last_device_batch = 0
-        # backpressure: requests beyond this depth are shed with 503 rather
-        # than queued into certain deadline misses
+        # backpressure: work beyond this many queued ROWS (prompt-list
+        # requests count once per prompt) is shed with 503 rather than
+        # queued into certain deadline misses
         self.max_queue = max_queue
         self.shed_count = 0
-        self._shed_lock = threading.Lock()  # qsize check + count are atomic
+        self._queued_rows = 0  # rows admitted but not yet pulled into a batch
+        self._shed_lock = threading.Lock()  # row check + count are atomic
         # graceful drain: once set, new requests are shed with 503 while
         # everything already admitted finishes (the serving counterpart of
         # the trainers' preemption checkpoint — lora_serve wires SIGTERM to
@@ -188,6 +191,10 @@ class PipelineServer:
     def generate(self, req: dict) -> dict:
         t0 = time.perf_counter()
         pending = _Pending(req)
+        if pending.n_rows < 1:
+            # an empty prompt list would otherwise crash the whole coalesced
+            # group later in _run_group's bucket padding (prompts[-1])
+            raise ValueError("prompt must be a non-empty string or list")
         if pending.n_rows > self.max_batch:
             raise ValueError(
                 f"prompt list of {pending.n_rows} exceeds max_batch "
@@ -197,13 +204,16 @@ class PipelineServer:
                 self.shed_count += 1
                 raise ServerOverloaded(
                     "server is draining for shutdown; retry elsewhere")
-            if self._queue.qsize() >= self.max_queue:
+            # backpressure is in ROWS, not requests: a request may carry a
+            # prompt list, and queued latency scales with rows of work
+            if self._queued_rows >= self.max_queue:
                 self.shed_count += 1
                 raise ServerOverloaded(
-                    f"queue depth {self._queue.qsize()} >= max_queue "
+                    f"queued rows {self._queued_rows} >= max_queue "
                     f"{self.max_queue}; retry with backoff")
             self._inflight += 1
             self.request_count += 1
+            self._queued_rows += pending.n_rows
             self._queue.put(pending)
         pending.done.wait()
         if pending.error is not None:
@@ -237,6 +247,8 @@ class PipelineServer:
         first = self._spill or self._queue.get()
         self._spill = None
         group = [first]
+        with self._shed_lock:  # first leaves the queue -> starts executing
+            self._queued_rows -= first.n_rows
         rows = first.n_rows
         window_end = time.monotonic() + self.batch_window
         # cap by ROW count, not request count: requests may carry prompt
@@ -254,7 +266,11 @@ class PipelineServer:
                     and rows + nxt.n_rows <= self.max_batch):
                 group.append(nxt)
                 rows += nxt.n_rows
+                with self._shed_lock:
+                    self._queued_rows -= nxt.n_rows
             else:
+                # the spill stays logically queued (it seeds the next batch),
+                # so its rows remain counted against max_queue
                 self._spill = nxt
                 break
         return group
@@ -406,6 +422,7 @@ class PipelineServer:
                 "shed": self.shed_count,
                 "inflight": self._inflight,
                 "queue_depth": self._queue.qsize(),
+                "queued_rows": self._queued_rows,
                 "draining": self.draining,
                 "last_device_batch": self.last_device_batch,
                 "exec_ewma_s": (round(self._exec_ewma, 4)

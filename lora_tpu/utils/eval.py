@@ -66,6 +66,9 @@ def image_grid(imgs: List[Image.Image], rows: Optional[int] = None,
     elif cols is None:
         cols = math.ceil(n / rows)
     h, w = np.asarray(imgs[0]).shape[:2]
+    # tolerate mixed sizes (the paste-based reference did): resize strays
+    # to the first image's size rather than raising from the block assign
+    imgs = [im if im.size == (w, h) else im.resize((w, h)) for im in imgs]
     sheet = np.zeros((rows * cols, h, w, 3), np.uint8)
     sheet[:n] = [np.asarray(im.convert("RGB")) for im in imgs]
     sheet = (sheet.reshape(rows, cols, h, w, 3)

@@ -304,3 +304,16 @@ def test_upl_collapse_roundtrip(pipe, tmp_path):
     a = runtime("q", num_inference_steps=2, height=64, width=64, latents=lat)
     b = merged("q", num_inference_steps=2, height=64, width=64, latents=lat)
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=6e-3)
+
+
+def test_svd_distill_cli_rejects_conflicting_target_flags(tmp_path):
+    """--extended and --locon together must error (locon would silently win
+    otherwise), and must do so before any model loading."""
+    import pytest
+
+    from lora_tpu.cli.lora_distill import svd_distill_cli
+
+    with pytest.raises(ValueError, match="conflicting target flags"):
+        svd_distill_cli(target_model=str(tmp_path / "nonexistent_tuned"),
+                        base_model=str(tmp_path / "nonexistent_base"),
+                        extended=True, locon=True)

@@ -149,3 +149,24 @@ def test_legacy_ti_trainer_preemption(image_dir, tmp_path, monkeypatch):
     assert res["preempted"] is True
     assert os.path.exists(os.path.join(out, "lora_ti_preempt_0.safetensors"))
     assert not os.path.exists(os.path.join(out, "lora_ti_final.safetensors"))
+
+
+def test_image_grid_uniform_and_mixed_sizes():
+    """Mixed-size inputs are resized to the first image's size (the
+    paste-based reference tolerated them; the block-reshape must too)."""
+    import numpy as np
+    from PIL import Image
+
+    from lora_tpu.utils.eval import image_grid
+
+    a = Image.fromarray(np.full((8, 6, 3), 10, np.uint8))
+    b = Image.fromarray(np.full((8, 6, 3), 200, np.uint8))
+    g = image_grid([a, b], rows=1, cols=2)
+    assert g.size == (12, 8)  # (w, h)
+    arr = np.asarray(g)
+    assert (arr[:, :6] == 10).all() and (arr[:, 6:] == 200).all()
+
+    c = Image.fromarray(np.full((16, 16, 3), 99, np.uint8))  # stray size
+    g2 = image_grid([a, c], rows=2, cols=1)
+    assert g2.size == (6, 16)
+    assert (np.asarray(g2)[8:] == 99).all()

@@ -292,3 +292,21 @@ def test_cli_round_trip_both_directions(tmp_path):
         for x, y in zip(wa, wb):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-3, atol=1e-4)
+
+
+def test_foreign_prefix_raises(tmp_path):
+    """Keys under neither lora_unet_ nor lora_te_ (e.g. SDXL's lora_te1_)
+    must be rejected, not silently skipped by both model passes."""
+    lu, _ = make_loras(23)
+    p = str(tmp_path / "k.safetensors")
+    save_kohya(p, lora_unet=lu, unet_sites=USITES)
+    with SafetensorsFile(p) as f:
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
+    tensors["lora_te1_text_model_encoder_layers_0_mlp_fc1.lora_down.weight"] = \
+        np.zeros((2, 8), np.float16)
+    tensors["lora_te1_text_model_encoder_layers_0_mlp_fc1.lora_up.weight"] = \
+        np.zeros((8, 2), np.float16)
+    p2 = str(tmp_path / "sdxl.safetensors")
+    save_file(tensors, p2)
+    with pytest.raises(ValueError, match="unknown prefixes"):
+        load_kohya(p2, unet_sites=USITES, text_sites=TSITES)

@@ -441,3 +441,71 @@ def test_drain_finishes_admitted_sheds_new(server):
             assert json.loads(r.read())["draining"] is True
     finally:
         srv.stop()
+
+
+def test_empty_prompt_list_rejected(server):
+    """[] passes n_rows>max_batch but would crash the whole coalesced group
+    in _run_group's bucket padding; it must 400 at admission."""
+    for bad in ([], 7):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({"prompt": bad, "steps": 2,
+                             "height": 64, "width": 64}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400
+
+
+def test_backpressure_counts_rows_not_requests(server):
+    """max_queue is a ROW budget: one queued 3-row request must trip the
+    shed threshold that three queued 1-row requests would."""
+    import threading
+
+    from lora_tpu.serve import ServerOverloaded
+
+    srv = PipelineServer(server.pipe, port=0, max_queue=2)
+    results = {}
+
+    def submit(name, req):
+        try:
+            results[name] = srv.generate(req)
+        except Exception as e:
+            results[name] = e
+
+    # park the worker: it collects request A, then blocks on the pipe lock
+    # inside _run_group while we examine the queue behind it
+    with srv.lock:
+        ta = threading.Thread(target=submit, args=(
+            "a", {"prompt": "a", "steps": 2, "height": 64, "width": 64}),
+            daemon=True)
+        ta.start()
+        for _ in range(500):  # until the worker has pulled A off the queue
+            if srv._queued_rows == 0 and srv._inflight == 1:
+                break
+            time.sleep(0.01)
+        # B: 3 rows, different config key so it can never join A's batch
+        tb = threading.Thread(target=submit, args=(
+            "b", {"prompt": ["b1", "b2", "b3"], "steps": 3,
+                  "height": 64, "width": 64}), daemon=True)
+        tb.start()
+        for _ in range(500):
+            if srv._queued_rows == 3:
+                break
+            time.sleep(0.01)
+        assert srv._queued_rows == 3
+        # 3 queued rows >= max_queue 2 -> shed, though only ONE request
+        # (plus the in-flight one) is ahead of us
+        with pytest.raises(ServerOverloaded, match="queued rows"):
+            srv.generate({"prompt": "d", "steps": 2,
+                          "height": 64, "width": 64})
+        assert srv.shed_count == 1
+        assert srv.metrics()["queued_rows"] == 3
+    ta.join(timeout=300)
+    tb.join(timeout=300)
+    assert len(results["a"]["images"]) == 1
+    assert len(results["b"]["images"]) == 3
+    assert srv._queued_rows == 0
+    srv.httpd.server_close()
