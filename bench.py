@@ -17,7 +17,6 @@ the program being timed.
 """
 
 import json
-import subprocess
 import sys
 import time
 
@@ -28,49 +27,15 @@ PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) per chip
 
 METRIC_NAME = "dreambooth_lora_rank4_train_steps_per_sec_per_chip"
 
-# The tunnel backend has been observed to hang *forever* at init (0 CPU,
-# killed after 25 min in the round-3 capture).  A blocked jax.devices() in
-# this process cannot be interrupted, so the availability probe runs in a
-# subprocess with a hard timeout; only after it succeeds do we touch the
-# backend in-process.
-import os
-
-_PROBE_ATTEMPTS = int(os.environ.get("LORA_BENCH_PROBE_ATTEMPTS", "5"))
-_PROBE_TIMEOUT_S = int(os.environ.get("LORA_BENCH_PROBE_TIMEOUT", "150"))
-_PROBE_BACKOFF_S = int(os.environ.get("LORA_BENCH_PROBE_BACKOFF", "10"))
-
-
-def _probe_backend():
-    """Bounded-retry backend probe. Returns None on success, else an error
-    string describing the terminal failure (timeouts count)."""
-    last = "unknown"
-    for attempt in range(_PROBE_ATTEMPTS):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; d = jax.devices(); print(d[0].platform)"],
-                capture_output=True, text=True, timeout=_PROBE_TIMEOUT_S)
-            if r.returncode == 0:
-                return None
-            last = (r.stderr or r.stdout).strip()[-400:]
-        except subprocess.TimeoutExpired:
-            last = f"backend init hung >{_PROBE_TIMEOUT_S}s (probe killed)"
-        time.sleep(_PROBE_BACKOFF_S * (attempt + 1))
-    return last
+import bench_common
 
 
 def _emit_unavailable(err: str):
-    """One parseable JSON line so a failed capture is machine-distinguishable
-    from a perf regression (the round-3 capture was an unstructured rc=1
-    traceback)."""
-    print(json.dumps({
-        "metric": METRIC_NAME, "value": None, "unit": "steps/sec/chip",
-        "vs_baseline": None, "backend_unavailable": True,
-        "error": err[-400:],
-    }))
+    bench_common.emit_unavailable(METRIC_NAME, err,
+                                  unit="steps/sec/chip", vs_baseline=None)
 
 
-err = _probe_backend()
+err = bench_common.probe_backend()
 if err is not None:
     _emit_unavailable(err)
     sys.exit(0)

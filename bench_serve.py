@@ -5,11 +5,17 @@ training headline).
 Prints one JSON line:
   {"metric": "serving", "single_latency_s": ..., "throughput": {bs: imgs/s},
    "multi_lora_throughput": {bs: imgs/s},
-   "offered_load": {"offered_rps": ..., "p50_s": ..., "p95_s": ...}}
+   "offered_load": [{"load_x": 0.5, ...}, {"load_x": 0.9, ...},
+                    {"load_x": 1.2, ...}]}
 
 The offered_load section drives the REAL PipelineServer (HTTP + deadline-
-aware micro-batching) with uniform arrivals at 80% of the measured bs-8
-capacity and reports client-observed p50/p95 latency plus the shed count.
+aware micro-batching) with uniform arrivals at 0.5x / 0.9x / 1.2x of the
+measured bs-8 capacity (n>=60 requests each) and reports client-observed
+p50/p95 latency, shed rate, and the exec-time EWMA at the end of the run.
+max_queue bounds queued work to ~2 batches, so the 1.2x overload point must
+SHED (503) rather than queue into unbounded latency — asserted, exit 1 if
+it absorbed everything. Exit 1 likewise if p95 at 0.9x regresses >2x from
+the recorded value (P95_RECORDED_AT_09, updated with PERF.md).
 
 Measures the real pipeline object (random weights — identical compute graph
 to trained SD-1.5 weights): 50-step CFG sampling, bf16, 512px, Pallas flash
@@ -25,6 +31,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import bench_common
+
+bench_common.require_backend_or_exit("serving")
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +44,9 @@ compile_cache.enable("/root/repo/.jax_cache")
 
 STEPS = 50
 REPS = 3
+# p95 at the 0.9x load point from the last accepted capture (PERF.md's
+# serving table); None = no record yet. The gate trips at >2x this.
+P95_RECORDED_AT_09 = None
 
 
 def _build_pipe():
@@ -52,19 +65,25 @@ def _run(pipe, prompts, rng, lora_idx=None, output_type="device"):
                 rng=rng, lora_idx=lora_idx, output_type=output_type)
 
 
-def _offered_load(pipe, rate_rps: float, n: int = 20,
-                  warm_frac: float = 0.25) -> dict:
+def _offered_load(pipe, rate_rps: float, n: int = 64, load_x: float = None,
+                  warm_frac: float = 0.25, max_queue: int = 16) -> dict:
     """Client-observed latency through the real HTTP server at a stated
     offered load (uniform arrivals), after srv.warmup() has compiled every
     bucket shape (deploy-time warmup — its cost is reported separately as
     warmup_s). The first `warm_frac` of requests are still excluded from
-    the percentiles to drop scheduler ramp-up."""
+    the percentiles to drop scheduler ramp-up.
+
+    max_queue=16 rows bounds queued work to ~2 device batches: at sub-
+    capacity loads the transient backlog while a batch executes (<~1 batch
+    of rows) stays under it, while sustained overload crosses it and SHEDS
+    instead of queueing into unbounded latency."""
     import threading
     import urllib.request
 
     from lora_tpu.serve import PipelineServer
 
-    srv = PipelineServer(pipe, port=0, max_batch=8, max_queue=64).start()
+    srv = PipelineServer(pipe, port=0, max_batch=8,
+                         max_queue=max_queue).start()
     results = [None] * n
     warm_s = srv.warmup(steps=STEPS)  # compile all bucket shapes up front
     try:
@@ -104,15 +123,21 @@ def _offered_load(pipe, rate_rps: float, n: int = 20,
     # server-side (kept below as a cross-check, not summed in)
     shed = sum(1 for r in results if r == "shed")
     if not lats:
-        return {"offered_rps": round(rate_rps, 3), "error": "all shed"}
+        return {"load_x": load_x, "offered_rps": round(rate_rps, 3),
+                "error": "all shed", "shed": shed, "n": n}
     return {
+        "load_x": load_x,
         "offered_rps": round(rate_rps, 3),
         "warmup_s": round(warm_s, 1),
         "achieved_rps": round((n - shed) / wall, 3),
         "p50_s": round(lats[len(lats) // 2], 3),
         "p95_s": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 3),
         "shed": shed,
+        "shed_rate": round(shed / n, 3),
         "server_shed_count": srv.shed_count,
+        # EWMA of batch execution time at end-of-run: drift here under
+        # sustained load means the coalescer's deadline estimates walked
+        "exec_ewma_s": round(srv._exec_ewma, 3) if srv._exec_ewma else None,
         "n": n,
     }
 
@@ -171,12 +196,32 @@ def main():
         mthr[str(bs)] = round(best, 2)
     out["multi_lora_throughput_imgs_per_s"] = mthr
 
-    # offered-load p50/p95 through the real server at 80% of bs-8 capacity
+    # offered-load sweep through the real server: 0.5x / 0.9x / 1.2x of
+    # measured bs-8 capacity, n>=60 each (VERDICT r3 item 6)
     pipe.lora_unet = init_lora(sites, r=4, rng=jax.random.PRNGKey(1))
-    rate = 0.8 * max(thr.values())
-    out["offered_load"] = _offered_load(pipe, rate)
+    cap = max(thr.values())
+    sweep = []
+    for load_x, n in ((0.5, 64), (0.9, 64), (1.2, 72)):
+        sweep.append(_offered_load(pipe, load_x * cap, n=n, load_x=load_x))
+    out["offered_load"] = sweep
 
     print(json.dumps(out))
+
+    failures = []
+    over = sweep[-1]
+    if not over.get("shed"):
+        failures.append(
+            "1.2x overload point shed nothing — queue bound is not "
+            "converting overload into 503s")
+    p95_09 = sweep[1].get("p95_s")
+    if (P95_RECORDED_AT_09 is not None and p95_09 is not None
+            and p95_09 > 2 * P95_RECORDED_AT_09):
+        failures.append(
+            f"p95 at 0.9x regressed: {p95_09}s vs recorded "
+            f"{P95_RECORDED_AT_09}s (>2x)")
+    if failures:
+        print("BENCH_SERVE_FAIL: " + "; ".join(failures), file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -113,3 +113,48 @@ def save_a1111_embedding(
         },
         path,
     )
+
+
+def save_a1111_multi_embedding(
+    embeds: Dict[str, np.ndarray], path: str, name: str = "embed"
+) -> None:
+    """Multi-vector A1111 embedding: all learned vectors stacked under "*"
+    in sorted-token order (the same convention lora_add upl-ckpt-v2 uses for
+    its sidecar .pt — the webui expands the file's name to all rows).  An
+    extra "lora_tpu_tokens" key records row ownership so load_a1111_embedding
+    can reconstruct the exact per-token dict; A1111 ignores unknown keys."""
+    torch = _torch()
+    toks = sorted(embeds)
+    cat = torch.stack([
+        torch.from_numpy(np.asarray(embeds[t], np.float32)) for t in toks])
+    torch.save(
+        {
+            "string_to_token": {"*": 265},
+            "string_to_param": {"*": cat},
+            "name": name,
+            "step": 0,
+            "sd_checkpoint": "custom",
+            "sd_checkpoint_name": "custom",
+            "lora_tpu_tokens": {t: i for i, t in enumerate(toks)},
+        },
+        path,
+    )
+
+
+def load_a1111_embedding(path: str) -> Tuple[str, Dict[str, np.ndarray]]:
+    """Read an A1111 embedding .pt back to (name, {token: vector}).
+
+    Files we wrote carry "lora_tpu_tokens" and round-trip exactly; foreign
+    webui files fall back to naming rows after the embedding itself
+    (name / name:1 / name:2 ... — the webui's trigger-word semantics)."""
+    torch = _torch()
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    cat = d["string_to_param"]["*"].detach().float().numpy()
+    if cat.ndim == 1:
+        cat = cat[None]
+    name = d.get("name", "embed")
+    tokens = d.get("lora_tpu_tokens")
+    if tokens:
+        return name, {t: cat[i] for t, i in tokens.items()}
+    return name, {name if i == 0 else f"{name}:{i}": cat[i]
+                  for i in range(cat.shape[0])}

@@ -66,6 +66,13 @@ class PTIConfig:
     lora_dropout_p: float = 0.0
     lora_scale: float = 1.0
     use_extended_lora: bool = False
+    # "default" | "extended" | "locon". locon trains the full kohya/LoCon
+    # module superset and saves the pair convention: <name>.safetensors in
+    # the kohya schema + <name>.embeds.pt as an A1111 textual embedding
+    # (the reference format cannot carry conv sites, and the kohya file
+    # cannot carry TI embeds — the webui convention splits them, the same
+    # pair lora_add upl-ckpt-v2 emits, cli/lora_add.py:104-107)
+    lora_targets: str = "default"
     clip_ti_decay: bool = True
     learning_rate_unet: float = 1e-4
     learning_rate_text: float = 1e-5
@@ -212,6 +219,14 @@ def cached_loader(items, batch_size, seed=0):
 
 
 def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
+    if cfg.lora_targets not in ("default", "extended", "locon"):
+        raise ValueError(f"lora_targets must be default|extended|locon, "
+                         f"got {cfg.lora_targets!r}")
+    if cfg.lora_targets == "locon" and cfg.use_extended_lora:
+        raise ValueError("use_extended_lora conflicts with "
+                         "lora_targets='locon' (locon already covers the "
+                         "extended conv sites); pass exactly one")
+    locon = cfg.lora_targets == "locon"
     os.makedirs(cfg.output_dir, exist_ok=True)
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
     # only process 0 writes artifacts/metrics to the (shared) output dir
@@ -276,15 +291,23 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
         base = tuple(mesh_lib.shard_params(
             p, mesh, use_fsdp=cfg.fsdp > 1, use_tp=cfg.tensor_parallel > 1)
             for p in base)
-    usites = unet_lora_sites(pipe.unet_cfg,
-                             set(cfg.lora_unet_target_modules)
-                             | (UNET_EXTENDED_TARGET_REPLACE
-                                if cfg.use_extended_lora else set()))
-    tsites = text_encoder_lora_sites(pipe.text_cfg,
-                                     set(cfg.lora_clip_target_modules))
-    unet_targets = (set(cfg.lora_unet_target_modules)
-                    | (UNET_EXTENDED_TARGET_REPLACE if cfg.use_extended_lora
-                       else set()))
+    if locon:
+        from ..core.sites import text_encoder_locon_sites, unet_locon_sites
+
+        usites = unet_locon_sites(pipe.unet_cfg)
+        tsites = text_encoder_locon_sites(pipe.text_cfg)
+        unet_targets = set()  # kohya files carry no target-set metadata
+    else:
+        extended = cfg.use_extended_lora or cfg.lora_targets == "extended"
+        usites = unet_lora_sites(pipe.unet_cfg,
+                                 set(cfg.lora_unet_target_modules)
+                                 | (UNET_EXTENDED_TARGET_REPLACE
+                                    if extended else set()))
+        tsites = text_encoder_lora_sites(pipe.text_cfg,
+                                         set(cfg.lora_clip_target_modules))
+        unet_targets = (set(cfg.lora_unet_target_modules)
+                        | (UNET_EXTENDED_TARGET_REPLACE if extended
+                           else set()))
 
     def embeds_dict(ti_embeds):
         return {tok: np.asarray(ti_embeds[i], np.float32)
@@ -418,13 +441,28 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
             return
         emb = embeds_dict(tr["ti"]["embeds"] if "ti" in tr else ti_embeds) \
             if len(placeholder_tokens) else None
-        save_all(os.path.join(cfg.output_dir,
-                              name or f"step_{step}.safetensors"),
-                 lora_unet=tr.get("lora_unet"), unet_sites=usites,
-                 lora_text=tr.get("lora_text"), text_sites=tsites,
-                 embeds=emb, save_ti=emb is not None,
-                 target_replace_module_unet=unet_targets,
-                 target_replace_module_text=set(cfg.lora_clip_target_modules))
+        out = os.path.join(cfg.output_dir,
+                           name or f"step_{step}.safetensors")
+        if locon:
+            # pair convention (see PTIConfig.lora_targets): kohya LoRA +
+            # A1111 embedding sidecar, since neither format holds both
+            from ..formats.kohya import save_kohya
+            from ..formats.pt_io import save_a1111_multi_embedding
+
+            save_kohya(out, lora_unet=tr.get("lora_unet"), unet_sites=usites,
+                       lora_text=tr.get("lora_text"), text_sites=tsites)
+            if emb:
+                save_a1111_multi_embedding(
+                    emb, out[:-len(".safetensors")] + ".embeds.pt",
+                    name=cfg.out_name)
+        else:
+            save_all(out,
+                     lora_unet=tr.get("lora_unet"), unet_sites=usites,
+                     lora_text=tr.get("lora_text"), text_sites=tsites,
+                     embeds=emb, save_ti=emb is not None,
+                     target_replace_module_unet=unet_targets,
+                     target_replace_module_text=set(
+                         cfg.lora_clip_target_modules))
         if cfg.log_wandb and name is None:
             # CLIP-alignment eval at save intervals (cli_lora_pti.py:527-539)
             try:

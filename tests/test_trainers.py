@@ -363,3 +363,81 @@ def test_pti_preemption_stops_whole_run(pipe, image_dir, tmp_path,
     assert res["preempted"] is True
     assert os.path.exists(os.path.join(out, "step_inv_0.safetensors"))
     assert not os.path.exists(os.path.join(out, "final_lora.safetensors"))
+
+
+def test_pti_locon_pair_convention(pipe, image_dir, tmp_path):
+    """lora_targets='locon': two-phase PTI over the LoCon superset saves the
+    webui pair — <name>.safetensors (kohya schema, patch_pipe-loadable) +
+    <name>.embeds.pt (A1111 textual embedding, token id 265) — since the
+    kohya file cannot carry TI embeds (VERDICT r3 item 3; reference bar
+    cli_lora_pti.py:696 + cli_lora_add.py:129-168)."""
+    import dataclasses
+
+    import torch
+
+    from lora_tpu.formats.pt_io import load_a1111_embedding
+
+    out = str(tmp_path / "pti_locon")
+    cfg = PTIConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        placeholder_tokens="<s1>|<s2>",
+        use_template="object",
+        resolution=64,
+        lora_rank=2,
+        max_train_steps_ti=2,
+        max_train_steps_tuning=2,
+        save_steps=2,
+        gradient_accumulation_steps=1,
+        cached_latents=True,
+        train_text_encoder=True,
+        continue_inversion=True,
+        lora_targets="locon",
+        seed=5,
+    )
+    p = dataclasses.replace(pipe)
+    p.tokenizer = type(pipe.tokenizer)(vocab_size=TINY_TEXT.vocab_size)
+    res = train_pti(p, cfg)
+    assert np.isfinite(res["final_loss"])
+
+    final = os.path.join(out, "final_lora.safetensors")
+    # kohya schema with conv (LoCon) modules present
+    from lora_tpu.formats.reader import SafetensorsFile
+    with SafetensorsFile(final) as f:
+        keys = f.keys()
+    assert any(k.startswith("lora_unet_") for k in keys)
+    assert any(k.startswith("lora_te_") for k in keys)
+    assert any("resnets" in k or "conv" in k for k in keys), \
+        "locon training must reach conv sites"
+
+    # the A1111 sidecar: standard webui keys + exact per-token round-trip
+    emb_path = os.path.join(out, "final_lora.embeds.pt")
+    raw = torch.load(emb_path, map_location="cpu", weights_only=False)
+    assert raw["string_to_token"] == {"*": 265}
+    assert raw["string_to_param"]["*"].shape[0] == 2
+    name, emb = load_a1111_embedding(emb_path)
+    assert name == "final_lora" and set(emb) == {"<s1>", "<s2>"}
+    learned = res["trainable"]["ti"]["embeds"]
+    np.testing.assert_allclose(emb["<s1>"], np.asarray(learned[0]),
+                               rtol=1e-6)
+
+    # intermediate saves follow the same pair convention
+    assert os.path.exists(os.path.join(out, "step_2.safetensors"))
+    assert os.path.exists(os.path.join(out, "step_2.embeds.pt"))
+
+    # the kohya artifact loads back through patch_pipe autodetection and
+    # applies (conv sites included)
+    p2 = dataclasses.replace(pipe)
+    p2.patch_pipe(final)
+    assert p2.lora_unet is not None and p2.lora_text is not None
+    assert any(s.endswith(("conv1", "conv2", "conv_shortcut"))
+               or ".conv" in s for s in p2.lora_unet["sites"])
+
+
+def test_pti_locon_conflicts_with_extended(pipe):
+    import dataclasses
+
+    cfg = PTIConfig(lora_targets="locon", use_extended_lora=True,
+                    placeholder_tokens="<s1>")
+    with pytest.raises(ValueError, match="conflicts"):
+        train_pti(dataclasses.replace(pipe), cfg)
