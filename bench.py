@@ -35,10 +35,13 @@ def _emit_unavailable(err: str):
                                   unit="steps/sec/chip", vs_baseline=None)
 
 
-err = bench_common.probe_backend()
-if err is not None:
-    _emit_unavailable(err)
-    sys.exit(0)
+if __name__ == "__main__":
+    # probe BEFORE any in-process backend touch; a bare import of this
+    # module (tests, smokes) must not probe or exit
+    _probe_err = bench_common.probe_backend()
+    if _probe_err is not None:
+        _emit_unavailable(_probe_err)
+        sys.exit(0)
 
 import jax
 import jax.numpy as jnp

@@ -36,6 +36,13 @@ def main() -> None:
 
     # sitecustomize pins JAX_PLATFORMS; override in-process before first use
     jax.config.update("jax_platforms", "cpu")
+    # share the CPU lane's persistent compile cache (tests/conftest.py):
+    # without it every worker process pays the full ~170s train-step
+    # compile, which used to dominate the multiprocess lane's wall clock
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     if args.nproc > 1:
         jax.distributed.initialize(f"localhost:{args.port}",
                                    num_processes=args.nproc,
