@@ -128,11 +128,14 @@ def _locon_attn_extras(prefix: str, spec: structure.AttnSpec) -> List[Site]:
     (kohya's UNET_TARGET_REPLACE_MODULE covers every Linear/Conv2d child of
     Transformer2DModel, not just attention+GEGLU)."""
     c = spec.channels
-    out = [Site(f"{prefix}.proj_in", "conv", c, c)]
+    # SD2.x publishes proj_in/proj_out as Linear (use_linear_projection);
+    # kohya keys them identically either way, only the delta geometry differs
+    proj_kind = "linear" if spec.linear_proj else "conv"
+    out = [Site(f"{prefix}.proj_in", proj_kind, c, c)]
     for k in range(spec.n_blocks):
         out.append(Site(f"{prefix}.transformer_blocks.{k}.ff.net.2",
                         "linear", 4 * c, c))
-    out.append(Site(f"{prefix}.proj_out", "conv", c, c))
+    out.append(Site(f"{prefix}.proj_out", proj_kind, c, c))
     return out
 
 

@@ -21,9 +21,12 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from .config import CLIPTextConfig
-from .layers import dense, layer_norm, quick_gelu
+from .layers import dense, gelu, layer_norm, quick_gelu
 
 Params = Dict[str, jax.Array]
+
+# hidden_act values published in the SD text-encoder configs
+_ACTS = {"quick_gelu": quick_gelu, "gelu": gelu}
 
 
 def init_clip_text(cfg: CLIPTextConfig, rng: jax.Array,
@@ -90,6 +93,9 @@ def clip_text_forward(
     d = cfg.hidden_size
     h = cfg.num_attention_heads
     dh = d // h
+    # SD1.x CLIP ViT-L uses quick_gelu; SD2.x's OpenCLIP ViT-H export uses
+    # plain gelu (text_encoder/config.json hidden_act)
+    act = _ACTS[cfg.hidden_act]
 
     table = apply_ti(params, ti_embeds, ti_ids)
     pos = params["text_model.embeddings.position_embedding.weight"][:T]
@@ -114,7 +120,7 @@ def clip_text_forward(
 
         res = x
         y = layer_norm(params, base + ".layer_norm2", x, cfg.layer_norm_eps)
-        y = quick_gelu(dense(params, base + ".mlp.fc1", y, lora))
+        y = act(dense(params, base + ".mlp.fc1", y, lora))
         x = res + dense(params, base + ".mlp.fc2", y, lora)
 
     return layer_norm(params, "text_model.final_layer_norm", x,

@@ -3,13 +3,17 @@
 SD15_UNET/SD15_VAE/SD15_TEXT mirror the published Stable-Diffusion-1.5
 configs (runwayml/stable-diffusion-v1-5 {unet,vae,text_encoder}/config.json)
 that the reference loads via diffusers/transformers from_pretrained
-(cli_lora_pti.py:58-127).  TINY_* are scaled-down variants for CPU tests.
+(cli_lora_pti.py:58-127).  SD21_* mirror stabilityai/stable-diffusion-2-1
+(the reference's scripts accept any such diffusers dir via
+--pretrained_model_name_or_path, and its loss already branches on
+v_prediction: cli_lora_pti.py:336).  TINY_* are scaled-down variants for
+CPU tests.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -22,15 +26,30 @@ class UNetConfig:
     down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
     up_block_has_attn: Tuple[bool, ...] = (False, True, True, True)
     layers_per_block: int = 2
-    # Number of attention heads per transformer (diffusers' misnamed
-    # `attention_head_dim=8` for SD1.x actually sets num_heads=8).
-    num_attention_heads: int = 8
+    # Number of attention heads per transformer. diffusers' misnamed
+    # `attention_head_dim=8` for SD1.x actually sets num_heads=8; SD2.x
+    # publishes a per-down-block list (5, 10, 20, 20) = constant head dim 64.
+    # A tuple here is per down-block (up blocks mirror it in reverse; the
+    # mid block uses the last entry).
+    num_attention_heads: Union[int, Tuple[int, ...]] = 8
     transformer_layers: int = 1
     cross_attention_dim: int = 768
+    # SD2.x Transformer2DModel: proj_in/proj_out are nn.Linear over the
+    # flattened sequence instead of 1x1 convs (use_linear_projection in the
+    # published config). Math-identical; the checkpoint weight rank differs.
+    use_linear_projection: bool = False
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
+
+    def heads_for_block(self, block_index: int) -> int:
+        """Heads for down-block `block_index` (negative indexes from the
+        bottom of the U, so -1 = the mid/deepest level)."""
+        nh = self.num_attention_heads
+        if isinstance(nh, tuple):
+            return nh[block_index]
+        return nh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +81,27 @@ SD15_UNET = UNetConfig()
 SD15_VAE = VAEConfig()
 SD15_TEXT = CLIPTextConfig()
 
+# Stable Diffusion 2.1 (768-v): stabilityai/stable-diffusion-2-1
+# {unet,vae,text_encoder}/config.json. The text encoder is the HF export of
+# OpenCLIP ViT-H/14 truncated to 23 layers (the "penultimate layer" SD2
+# conditioning) with plain gelu. The v-prediction objective lives in the
+# scheduler config (prediction_type), not here. SD 2.1-base (512px) is the
+# same but sample_size=64.
+SD21_UNET = UNetConfig(
+    sample_size=96,
+    num_attention_heads=(5, 10, 20, 20),  # constant head dim 64
+    cross_attention_dim=1024,
+    use_linear_projection=True,
+)
+SD21_VAE = VAEConfig()
+SD21_TEXT = CLIPTextConfig(
+    hidden_size=1024,
+    intermediate_size=4096,
+    num_hidden_layers=23,
+    num_attention_heads=16,
+    hidden_act="gelu",
+)
+
 # Tiny configs for CPU unit tests: same topology, small dims.
 TINY_UNET = UNetConfig(
     sample_size=8,
@@ -71,6 +111,25 @@ TINY_UNET = UNetConfig(
     norm_num_groups=8,
 )
 TINY_VAE = VAEConfig(block_out_channels=(16, 16, 32, 32), norm_num_groups=8)
+# SD2-flavored tiny variants: per-block head counts + linear projections +
+# gelu text encoder, for CPU differential tests of the SD2 topology.
+TINY_SD2_UNET = UNetConfig(
+    sample_size=8,
+    block_out_channels=(32, 64, 64, 64),
+    num_attention_heads=(2, 4, 4, 4),  # constant head dim 16
+    cross_attention_dim=48,
+    use_linear_projection=True,
+    norm_num_groups=8,
+)
+TINY_SD2_TEXT = CLIPTextConfig(
+    vocab_size=1000,
+    hidden_size=48,
+    intermediate_size=96,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    hidden_act="gelu",
+    max_extra_tokens=8,
+)
 TINY_TEXT = CLIPTextConfig(
     vocab_size=1000,
     hidden_size=32,

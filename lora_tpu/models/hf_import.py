@@ -61,7 +61,12 @@ def load_unet(model_dir: str, dtype=jnp.float32) -> Tuple[Params, UNetConfig]:
         cfg_json = json.load(f)
     down_types = cfg_json["down_block_types"]
     up_types = cfg_json["up_block_types"]
+    # diffusers' attention_head_dim actually holds num_heads: the SD1.x
+    # configs publish the int 8 (8 heads), the SD2.x configs a per-block
+    # list (5, 10, 20, 20) — constant head dim 64 over the block channels
     head_dim = cfg_json.get("attention_head_dim", 8)
+    num_heads = (tuple(int(h) for h in head_dim)
+                 if isinstance(head_dim, (list, tuple)) else int(head_dim))
     cfg = UNetConfig(
         sample_size=cfg_json.get("sample_size", 64),
         in_channels=cfg_json.get("in_channels", 4),
@@ -70,9 +75,9 @@ def load_unet(model_dir: str, dtype=jnp.float32) -> Tuple[Params, UNetConfig]:
         down_block_has_attn=tuple(t.startswith("CrossAttn") for t in down_types),
         up_block_has_attn=tuple(t.startswith("CrossAttn") for t in up_types),
         layers_per_block=cfg_json.get("layers_per_block", 2),
-        # SD1.x quirk: attention_head_dim actually holds num_heads
-        num_attention_heads=head_dim if isinstance(head_dim, int) else 8,
+        num_attention_heads=num_heads,
         cross_attention_dim=cfg_json.get("cross_attention_dim", 768),
+        use_linear_projection=cfg_json.get("use_linear_projection", False),
         norm_num_groups=cfg_json.get("norm_num_groups", 32),
         freq_shift=cfg_json.get("freq_shift", 0),
         flip_sin_to_cos=cfg_json.get("flip_sin_to_cos", True),
@@ -182,8 +187,11 @@ def save_pipeline_params(
         "out_channels": u.out_channels,
         "block_out_channels": list(u.block_out_channels),
         "layers_per_block": u.layers_per_block,
-        "attention_head_dim": u.num_attention_heads,
+        "attention_head_dim": (list(u.num_attention_heads)
+                               if isinstance(u.num_attention_heads, tuple)
+                               else u.num_attention_heads),
         "cross_attention_dim": u.cross_attention_dim,
+        "use_linear_projection": u.use_linear_projection,
         "norm_num_groups": u.norm_num_groups,
         "freq_shift": u.freq_shift, "flip_sin_to_cos": u.flip_sin_to_cos,
         "down_block_types": [

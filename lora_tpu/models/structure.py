@@ -33,6 +33,9 @@ class AttnSpec:
     num_heads: int
     cross_dim: int
     n_blocks: int
+    # SD2.x: proj_in/proj_out are Linear over the flattened sequence
+    # (use_linear_projection) instead of 1x1 convs
+    linear_proj: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +63,9 @@ def down_blocks(cfg: UNetConfig) -> List[BlockSpec]:
         for j in range(cfg.layers_per_block):
             resnets.append(ResnetSpec(in_ch if j == 0 else out_ch, out_ch, temb))
             attns.append(
-                AttnSpec(out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                         cfg.transformer_layers)
+                AttnSpec(out_ch, cfg.heads_for_block(i),
+                         cfg.cross_attention_dim, cfg.transformer_layers,
+                         linear_proj=cfg.use_linear_projection)
                 if cfg.down_block_has_attn[i]
                 else None
             )
@@ -79,8 +83,9 @@ def mid_block(cfg: UNetConfig) -> BlockSpec:
     return BlockSpec(
         "mid",
         (ResnetSpec(ch, ch, temb), ResnetSpec(ch, ch, temb)),
-        (AttnSpec(ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                  cfg.transformer_layers),),
+        (AttnSpec(ch, cfg.heads_for_block(-1), cfg.cross_attention_dim,
+                  cfg.transformer_layers,
+                  linear_proj=cfg.use_linear_projection),),
     )
 
 
@@ -101,8 +106,10 @@ def up_blocks(cfg: UNetConfig) -> List[BlockSpec]:
             res_in = (prev_output if j == 0 else out_ch) + skip_ch
             resnets.append(ResnetSpec(res_in, out_ch, temb))
             attns.append(
-                AttnSpec(out_ch, cfg.num_attention_heads, cfg.cross_attention_dim,
-                         cfg.transformer_layers)
+                # up block i mirrors down block n-1-i (channel level rev[i])
+                AttnSpec(out_ch, cfg.heads_for_block(n - 1 - i),
+                         cfg.cross_attention_dim, cfg.transformer_layers,
+                         linear_proj=cfg.use_linear_projection)
                 if cfg.up_block_has_attn[i]
                 else None
             )

@@ -87,7 +87,10 @@ def _init_resnet(ini: _Init, prefix: str, spec: structure.ResnetSpec):
 def _init_transformer(ini: _Init, prefix: str, spec: structure.AttnSpec):
     c, xd = spec.channels, spec.cross_dim
     ini.norm(prefix + ".norm", c)
-    ini.conv(prefix + ".proj_in", c, c, k=1)
+    if spec.linear_proj:  # SD2.x: Linear over the flattened sequence
+        ini.lin(prefix + ".proj_in", c, c)
+    else:
+        ini.conv(prefix + ".proj_in", c, c, k=1)
     for k in range(spec.n_blocks):
         tb = f"{prefix}.transformer_blocks.{k}"
         for n in ("norm1", "norm2", "norm3"):
@@ -99,7 +102,10 @@ def _init_transformer(ini: _Init, prefix: str, spec: structure.AttnSpec):
             ini.lin(f"{tb}.{a}.to_out.0", c, c)
         ini.lin(f"{tb}.ff.net.0.proj", c, 8 * c)
         ini.lin(f"{tb}.ff.net.2", 4 * c, c)
-    ini.conv(prefix + ".proj_out", c, c, k=1)
+    if spec.linear_proj:
+        ini.lin(prefix + ".proj_out", c, c)
+    else:
+        ini.conv(prefix + ".proj_out", c, c, k=1)
 
 
 def init_unet(cfg: UNetConfig, rng: jax.Array, dtype=jnp.float32) -> Params:
@@ -187,8 +193,11 @@ def _transformer(p: Params, prefix: str, x, ctx, cfg: UNetConfig,
     B, H, W, C = x.shape
     res = x
     h = group_norm(p, prefix + ".norm", x, cfg.norm_num_groups, 1e-6)
-    h = conv2d(p, prefix + ".proj_in", h, lora=lora)
-    h = h.reshape(B, H * W, C)
+    if spec.linear_proj:  # SD2.x: flatten first, then Linear (diffusers order)
+        h = dense(p, prefix + ".proj_in", h.reshape(B, H * W, C), lora)
+    else:
+        h = conv2d(p, prefix + ".proj_in", h, lora=lora)
+        h = h.reshape(B, H * W, C)
     for k in range(spec.n_blocks):
         tb = f"{prefix}.transformer_blocks.{k}"
         y = layer_norm(p, f"{tb}.norm1", h, 1e-5)
@@ -198,8 +207,12 @@ def _transformer(p: Params, prefix: str, x, ctx, cfg: UNetConfig,
                            spec.num_heads, lora)
         y = layer_norm(p, f"{tb}.norm3", h, 1e-5)
         h = h + _ff_geglu(p, f"{tb}.ff", y, lora)
-    h = h.reshape(B, H, W, C)
-    h = conv2d(p, prefix + ".proj_out", h, lora=lora)
+    if spec.linear_proj:  # Linear before unflattening (diffusers order)
+        h = dense(p, prefix + ".proj_out", h, lora)
+        h = h.reshape(B, H, W, C)
+    else:
+        h = h.reshape(B, H, W, C)
+        h = conv2d(p, prefix + ".proj_out", h, lora=lora)
     return h + res
 
 

@@ -78,11 +78,19 @@ def _mha(sd, p, x, ctx, heads):
     return _lin(sd, p + ".to_out.0", out)
 
 
-def _spatial_transformer(sd, p, x, ctx, heads, groups):
+def _spatial_transformer(sd, p, x, ctx, heads, groups, head_dim=None):
     B, C, H, W = x.shape
     res = x
-    h = _conv(sd, p + ".proj_in", _gn(sd, p + ".norm", x, groups, 1e-6))
-    h = h.view(B, C, H * W).permute(0, 2, 1)
+    h = _gn(sd, p + ".norm", x, groups, 1e-6)
+    # SD2.x (use_linear_in_transformer): proj_in/proj_out are Linear applied
+    # AFTER flattening; detected from the checkpoint weight rank itself
+    linear_proj = sd[p + ".proj_in.weight"].dim() == 2
+    if linear_proj:
+        h = _lin(sd, p + ".proj_in", h.view(B, C, H * W).permute(0, 2, 1))
+    else:
+        h = _conv(sd, p + ".proj_in", h).view(B, C, H * W).permute(0, 2, 1)
+    if head_dim is not None:  # SD2.x: constant head dim, per-level head count
+        heads = C // head_dim
     i = 0
     while f"{p}.transformer_blocks.{i}.norm1.weight" in sd:
         tb = f"{p}.transformer_blocks.{i}"
@@ -93,12 +101,18 @@ def _spatial_transformer(sd, p, x, ctx, heads, groups):
                        _ln(sd, tb + ".norm3", h)).chunk(2, dim=-1)
         h = h + _lin(sd, tb + ".ff.net.2", a * F.gelu(gate))
         i += 1
-    h = h.permute(0, 2, 1).view(B, C, H, W)
-    return _conv(sd, p + ".proj_out", h) + res
+    if linear_proj:
+        h = _lin(sd, p + ".proj_out", h).permute(0, 2, 1).view(B, C, H, W)
+    else:
+        h = _conv(sd, p + ".proj_out", h.permute(0, 2, 1).view(B, C, H, W))
+    return h + res
 
 
-def unet_forward(sd, x, t, context, heads, groups=32):
-    """x (B, Cin, H, W) NCHW; t (B,); context (B, S, D). Returns eps pred."""
+def unet_forward(sd, x, t, context, heads=None, groups=32, head_dim=None):
+    """x (B, Cin, H, W) NCHW; t (B,); context (B, S, D). Returns eps pred.
+
+    `heads` is the flat SD1.x head count; pass `head_dim` instead for SD2.x
+    topologies (per-level head count = channels // head_dim)."""
     model_ch = sd["time_embed.0.weight"].shape[1]
     emb = _lin(sd, "time_embed.0", timestep_embedding(t, model_ch))
     emb = _lin(sd, "time_embed.2", F.silu(emb))
@@ -116,14 +130,15 @@ def unet_forward(sd, x, t, context, heads, groups=32):
             h = _resblock(sd, p + ".0", h, emb, groups)
             if f"{p}.1.norm.weight" in sd:
                 h = _spatial_transformer(sd, p + ".1", h, context, heads,
-                                         groups)
+                                         groups, head_dim)
         else:
             break
         skips.append(h)
         i += 1
 
     h = _resblock(sd, "middle_block.0", h, emb, groups)
-    h = _spatial_transformer(sd, "middle_block.1", h, context, heads, groups)
+    h = _spatial_transformer(sd, "middle_block.1", h, context, heads,
+                             groups, head_dim)
     h = _resblock(sd, "middle_block.2", h, emb, groups)
 
     i = 0
@@ -132,7 +147,8 @@ def unet_forward(sd, x, t, context, heads, groups=32):
         h = _resblock(sd, p + ".0", torch.cat([h, skips.pop()], dim=1), emb,
                       groups)
         if f"{p}.1.norm.weight" in sd:
-            h = _spatial_transformer(sd, p + ".1", h, context, heads, groups)
+            h = _spatial_transformer(sd, p + ".1", h, context, heads, groups,
+                                     head_dim)
         for sub in (1, 2):
             if f"{p}.{sub}.conv.weight" in sd:
                 h = F.interpolate(h, scale_factor=2.0, mode="nearest")
