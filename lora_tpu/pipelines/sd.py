@@ -353,8 +353,21 @@ class StableDiffusionPipeline:
 
     def prepare_latents(self, batch: int, height: int, width: int,
                         rng: jax.Array) -> jax.Array:
+        self._check_size(height, width)
         shape = (batch, height // 8, width // 8, self.unet_cfg.out_channels)
         return jax.random.normal(rng, shape, self.dtype)
+
+    def _check_size(self, height: int, width: int) -> None:
+        """Latents pass len(block_out_channels)-1 stride-2 stages; sizes that
+        don't survive the down/up round trip fail deep in the UNet with a
+        concat shape error, so reject them up front (diffusers has the same
+        8 * 2^n_down floor)."""
+        stride = 8 * 2 ** (len(self.unet_cfg.block_out_channels) - 1)
+        if height % stride or width % stride:
+            raise ValueError(
+                f"height/width must be multiples of {stride} for this UNet "
+                f"({len(self.unet_cfg.block_out_channels)} levels); got "
+                f"{height}x{width}")
 
     # -- sampling -----------------------------------------------------------
     def _scheduler_arrays(self, method: str, num_inference_steps: int):
@@ -471,6 +484,7 @@ class StableDiffusionPipeline:
     ):
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
+        self._check_size(init_image.shape[1], init_image.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_noise = jax.random.split(rng)
         z = _jit_vae_encode(self.vae_params, init_image.astype(self.dtype),
@@ -517,6 +531,7 @@ class StableDiffusionPipeline:
             f"{self.unet_cfg.in_channels}")
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         B = len(prompts)
+        self._check_size(image.shape[1], image.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_lat = jax.random.split(rng)
         masked = image * (mask < 0.5)

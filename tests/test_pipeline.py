@@ -43,6 +43,15 @@ def rand_lora_file(pipe, tmp_path, with_ti=True, seed=0):
     return path
 
 
+def test_rejects_sizes_that_break_the_unet(pipe):
+    """Sizes that can't survive the UNet's stride-2 down/up round trip must
+    fail loudly at the API edge, not as a concat shape error mid-forward."""
+    with pytest.raises(ValueError, match="multiples of 64"):
+        pipe("x", num_inference_steps=1, height=32, width=32)
+    with pytest.raises(ValueError, match="multiples of 64"):
+        pipe.img2img("x", jnp.zeros((1, 96, 96, 3), jnp.float32))
+
+
 def test_txt2img_runs(pipe):
     img = pipe("a photo of a dog", num_inference_steps=3, height=64, width=64,
                guidance_scale=7.5, rng=jax.random.PRNGKey(1))
