@@ -14,6 +14,14 @@ The reference mutates torch nn.Module trees in place
 plus optional per-site "diag" (r,) — the reference's selector
 (set_lora_diag / LoRAManager.tune, lora.py:63-70,883-886).
 
+A site entry may instead hold a full-rank weight delta
+{"delta": (out, in[, kh, kw])} — the exact form of LyCORIS LoHa/LoKr/IA3
+modules, whose Hadamard/Kronecker compositions are not low-rank and so
+cannot be represented as an (up, down) pair (formats/lycoris.py). Delta
+entries participate in forward application, scale tuning, merge/add,
+collapse and inspection; they cannot be re-factored into pairs
+(lora_to_pairs raises — use core/svd.py to distill a rank-r approximation).
+
 "Injection" is just passing this tree to a model's forward; "removal" is
 passing None; merge/join/collapse are the pure functions below.  Weight
 layout matches torch Linear/Conv2d (out,in[,kh,kw]) so serialization is
@@ -101,6 +109,29 @@ def lora_from_flat(
     return lora_from_pairs(pairs_from_flat(list(weights)), sites, scale, dtype)
 
 
+def lora_from_deltas(
+    deltas: Sequence[np.ndarray],
+    sites: Sequence[Site],
+    scale: float = 1.0,
+    dtype=jnp.float32,
+) -> LoraTree:
+    """Build a LoRA tree of full-rank weight deltas (torch weight layout:
+    (out, in) linear / OIHW conv). The exact representation of composed
+    LyCORIS LoHa/LoKr/IA3 modules — see module docstring."""
+    if len(deltas) != len(sites):
+        raise ValueError(f"got {len(deltas)} deltas for {len(sites)} sites")
+    site_params = {}
+    for site, d in zip(sites, deltas):
+        d = jnp.asarray(np.asarray(d), dtype)
+        want = ((site.out_dim, site.in_dim) if site.kind == "linear"
+                else (site.out_dim, site.in_dim) + site.kernel)
+        if tuple(d.shape) != want:
+            raise ValueError(
+                f"site {site.name} expects delta shape {want}, got {d.shape}")
+        site_params[site.name] = {"delta": d}
+    return {"sites": site_params, "scale": jnp.asarray(scale, jnp.float32)}
+
+
 def lora_to_pairs(lora: LoraTree, sites: Sequence[Site]) -> List[Pair]:
     """Realize as save-order pairs; up is pre-multiplied by the runtime scale
     (reference realize_as_lora, lora.py:60-61 — the selector diag is NOT
@@ -109,6 +140,11 @@ def lora_to_pairs(lora: LoraTree, sites: Sequence[Site]) -> List[Pair]:
     out: List[Pair] = []
     for site in sites:
         entry = lora["sites"][site.name]
+        if "delta" in entry:
+            raise ValueError(
+                f"site {site.name} holds a full-rank delta (LoHa/LoKr/IA3); "
+                f"it has no (up, down) factorization — distill one with "
+                f"core.svd first")
         out.append(
             (np.asarray(entry["up"], np.float32) * scale,
              np.asarray(entry["down"], np.float32))
@@ -143,6 +179,16 @@ def merge_loras(l1: LoraTree, l2: LoraTree, alpha_1: float, alpha_2: float) -> L
     sites = {}
     for name in l1["sites"]:
         a, b = l1["sites"][name], l2["sites"][name]
+        if ("delta" in a) != ("delta" in b):
+            raise ValueError(
+                f"cannot merge a factored LoRA with a full-rank delta at "
+                f"{name}")
+        if "delta" in a:
+            if a["delta"].shape != b["delta"].shape:
+                raise ValueError(f"shape mismatch at {name}")
+            sites[name] = {
+                "delta": alpha_1 * a["delta"] + alpha_2 * b["delta"]}
+            continue
         if a["up"].shape != b["up"].shape or a["down"].shape != b["down"].shape:
             raise ValueError(f"shape mismatch at {name}")
         sites[name] = {
@@ -159,6 +205,14 @@ def add_lora(lora: LoraTree, incoming: LoraTree, alpha: float = 1.0,
     sites = {}
     for name, entry in lora["sites"].items():
         inc = incoming["sites"][name]
+        if "delta" in entry or "delta" in inc:
+            if not ("delta" in entry and "delta" in inc):
+                raise ValueError(
+                    f"cannot mix a factored LoRA with a full-rank delta at "
+                    f"{name}")
+            sites[name] = {
+                "delta": alpha * inc["delta"] + beta * entry["delta"]}
+            continue
         sites[name] = {
             "up": alpha * inc["up"] + beta * entry["up"],
             "down": alpha * inc["down"] + beta * entry["down"],
@@ -176,6 +230,10 @@ def join_loras(loras: Sequence[LoraTree]) -> Tuple[LoraTree, List[int]]:
             raise ValueError("join requires identical site sets")
     ranklist = []
     for l in loras:
+        if any("delta" in e for e in l["sites"].values()):
+            raise ValueError(
+                "join requires factored (up, down) LoRAs; full-rank "
+                "LoHa/LoKr/IA3 deltas have no rank axis to concatenate")
         ranks = {e["down"].shape[0] for e in l["sites"].values()}
         if len(ranks) > 1:
             raise ValueError("Rank should be the same per model")
@@ -201,9 +259,13 @@ def collapse_lora(params: Dict[str, jax.Array], lora: LoraTree,
     for name, entry in lora["sites"].items():
         key = name + ".weight"
         w = out[key]
-        up = jnp.asarray(entry["up"], jnp.float32)
-        down = jnp.asarray(entry["down"], jnp.float32)
-        delta = (up.reshape(up.shape[0], -1) @ down.reshape(down.shape[0], -1))
+        if "delta" in entry:
+            delta = jnp.asarray(entry["delta"], jnp.float32)
+        else:
+            up = jnp.asarray(entry["up"], jnp.float32)
+            down = jnp.asarray(entry["down"], jnp.float32)
+            delta = (up.reshape(up.shape[0], -1)
+                     @ down.reshape(down.shape[0], -1))
         out[key] = (w.astype(jnp.float32) + alpha * delta.reshape(w.shape)).astype(
             w.dtype
         )
@@ -211,13 +273,24 @@ def collapse_lora(params: Dict[str, jax.Array], lora: LoraTree,
 
 
 def lora_ranks(lora: LoraTree, sites: Sequence[Site]) -> List[int]:
-    return [int(lora["sites"][s.name]["down"].shape[0]) for s in sites]
+    out = []
+    for s in sites:
+        entry = lora["sites"][s.name]
+        if "delta" in entry:
+            raise ValueError(
+                f"site {s.name} holds a full-rank delta; it has no rank")
+        out.append(int(entry["down"].shape[0]))
+    return out
 
 
 def inspect_lora(lora: LoraTree) -> Dict[str, List[float]]:
     """Per-site mean |up @ down| drift diagnostic (lora.py:1025-1042)."""
     moved: Dict[str, List[float]] = {}
     for name, entry in lora["sites"].items():
+        if "delta" in entry:
+            moved[name] = [float(np.abs(np.asarray(entry["delta"],
+                                                   np.float32)).mean())]
+            continue
         up = np.asarray(entry["up"], np.float32).reshape(entry["up"].shape[0], -1)
         down = np.asarray(entry["down"], np.float32).reshape(
             entry["down"].shape[0], -1
@@ -240,6 +313,10 @@ def stack_loras(loras: Sequence[LoraTree]) -> LoraTree:
     sites = {}
     for name in names:
         entries = [l["sites"][name] for l in loras]
+        if any("delta" in e for e in entries):
+            raise ValueError(
+                f"stack requires factored (up, down) LoRAs at {name}; "
+                f"full-rank LoHa/LoKr/IA3 deltas are not routable")
         shapes = {(tuple(e["up"].shape), tuple(e["down"].shape))
                   for e in entries}
         if len(shapes) > 1:
@@ -274,8 +351,17 @@ def lora_delta_dense(x: jax.Array, entry: dict, scale: jax.Array,
 
     Batched serving: when entry holds stacked adapters (up (K,out,r)) and
     `idx` (B,) is given, each batch element routes through its own adapter
-    (x must be batch-leading)."""
+    (x must be batch-leading).
+
+    Full-rank delta entries (LoHa/LoKr/IA3, formats/lycoris.py) apply as
+    one matmul: scale * x @ delta.T."""
     dt = x.dtype
+    if "delta" in entry:
+        d = x @ entry["delta"].astype(dt).T
+        if dropout_rng is not None and dropout_p > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, d.shape)
+            d = jnp.where(keep, d / (1.0 - dropout_p), 0.0).astype(dt)
+        return d * scale.astype(dt)
     down = entry["down"]
     up = entry["up"]
     if up.ndim == 3:
@@ -310,8 +396,21 @@ def lora_delta_conv(x: jax.Array, entry: dict, scale: jax.Array,
     (K, r, in, kh, kw)) and `idx` (B,) is given, each batch element routes
     through its own adapter's kernels — the per-sample down convs run as ONE
     grouped convolution (batch folded into feature groups), then a per-
-    sample 1x1 up einsum."""
+    sample 1x1 up einsum.
+
+    Full-rank delta entries (LoHa/LoKr/IA3) apply as one conv with the
+    delta kernel in the site's original geometry."""
     dt = x.dtype
+    if "delta" in entry:
+        d = jax.lax.conv_general_dilated(
+            x, entry["delta"].astype(dt), window_strides=stride,
+            padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+            dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        )
+        if dropout_rng is not None and dropout_p > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, d.shape)
+            d = jnp.where(keep, d / (1.0 - dropout_p), 0.0).astype(dt)
+        return d * scale.astype(dt)
     down = entry["down"]
     up = entry["up"]
     if up.ndim == 5:

@@ -8,8 +8,10 @@ for the module sets both cover (attention + GEGLU linears and, for
 extended LoRAs, resnet convs). LoCon files — kohya's conv_dim targets
 over every Linear/Conv2d in Transformer2DModel/ResnetBlock2D/
 {Down,Up}sample2D, optionally CP-decomposed — load fully against the
-LoCon site supersets (core/sites.unet_locon_sites); other LyCORIS
-algorithms (LoHa, LoKr, IA3) are rejected loudly.
+LoCon site supersets (core/sites.unet_locon_sites). This module is the
+PAIRS loader: it keeps the (up, down) factorization and rejects any other
+decomposition; LoHa/LoKr/IA3 files load through formats/lycoris.py (as
+exact full-rank delta entries), which patch_pipe auto-dispatches to.
 
 Key mapping: our site names ARE diffusers module paths (core/sites.py),
 so the kohya key is `lora_unet_` (or `lora_te_`) + the path with dots

@@ -1,0 +1,301 @@
+"""LyCORIS (LoHa / LoKr / IA3) interop — the kohya-family algorithms
+beyond plain LoRA/LoCon.
+
+These share the kohya key schema (`lora_unet_<path>.<factor>` /
+`lora_te_<path>.<factor>`, see formats/kohya.py) but factor the weight
+delta differently:
+
+- **LoHa** (Hadamard product): dW = (w1a @ w1b) * (w2a @ w2b) * alpha/r.
+  Factor keys `hada_w1_a (out, r)`, `hada_w1_b (r, in*kh*kw)` (and the
+  w2 pair). Tucker-decomposed convs carry `hada_t1/t2 (r, r, kh, kw)`
+  with `hada_w*_a (r, out)` / `hada_w*_b (r, in)`; each side rebuilds as
+  einsum('ijkl,ip,jr->prkl', t, wa, wb).
+- **LoKr** (Kronecker product): dW = kron(w1, w2) * alpha/r where w1
+  (out1, in1) may itself be factored `lokr_w1_a @ lokr_w1_b` and w2
+  (out2, in2[*kh*kw]) may be factored or Tucker (`lokr_t2`); out =
+  out1*out2, in = in1*in2. alpha applies only when a factored side
+  provides a rank r; otherwise the multiplier is 1.
+- **IA3**: a learned per-channel gain on the frozen weight,
+  dW = W * v with v broadcast over the input axis (`on_input` true) or
+  the output axis. The delta depends on the BASE weight, so loading
+  requires the model's params.
+
+The Hadamard/Kronecker compositions are full-rank, so they load as exact
+`{"delta"}` entries in the LoRA pytree (core/lora.lora_from_deltas) rather
+than (up, down) pairs; forward application, scale tuning, collapse and
+removal all work identically. A single file may mix algorithms per module
+(plain LoRA pairs included — those stay factored). Unknown factor keys
+(LoHa++/GLoRA/diag-OFT/norm tensors, `dora_scale`, ...) raise loudly so a
+partial load can never pass silently.
+
+The reference repo predates LyCORIS entirely (its formats are the
+`{model}:{idx}:up/down` safetensors and flat `.pt` lists —
+/root/reference/lora_diffusion/lora.py:451-535); this module exists for
+the same reason formats/kohya.py does: users migrating here bring
+webui-ecosystem files.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.lora import LoraTree
+from ..core.sites import Site
+from .kohya import _compose_cp_mid, _site_index, _PREFIX
+from .reader import SafetensorsFile
+
+# factor-key sets per algorithm (leaf names after the module base)
+_LORA_LEAVES = {"lora_up", "lora_down", "lora_mid", "alpha"}
+_LOHA_LEAVES = {"hada_w1_a", "hada_w1_b", "hada_w2_a", "hada_w2_b",
+                "hada_t1", "hada_t2", "alpha"}
+_LOKR_LEAVES = {"lokr_w1", "lokr_w1_a", "lokr_w1_b",
+                "lokr_w2", "lokr_w2_a", "lokr_w2_b", "lokr_t2", "alpha"}
+# trainers write .alpha for IA3 modules too; apply-time loaders ignore it
+# (the gain is absolute), so we accept-and-ignore rather than reject
+_IA3_LEAVES = {"weight", "on_input", "alpha"}
+
+def is_lycoris(keys: Sequence[str]) -> bool:
+    """True if any key carries a LoHa/LoKr/IA3 factor (vs plain kohya
+    LoRA/LoCon, which formats/kohya.py loads keeping the factorization)."""
+    for k in keys:
+        leaf = k.rpartition(".")[2]
+        if leaf.startswith(("hada_", "lokr_")) or leaf == "on_input":
+            return True
+    return False
+
+
+def _detect_algo(base: str, leaves: set) -> str:
+    for algo, known in (("lora", _LORA_LEAVES), ("loha", _LOHA_LEAVES),
+                        ("lokr", _LOKR_LEAVES), ("ia3", _IA3_LEAVES)):
+        if leaves <= known:
+            return algo
+    raise ValueError(
+        f"kohya module {base!r} has unsupported factor tensors "
+        f"{sorted(leaves)} (LoHa++/GLoRA/OFT/DoRA?); refusing a partial "
+        f"load")
+
+
+def _site_shape(site: Site) -> Tuple[int, ...]:
+    if site.kind == "linear":
+        return (site.out_dim, site.in_dim)
+    return (site.out_dim, site.in_dim) + tuple(site.kernel)
+
+
+def _rebuild_tucker(t: np.ndarray, wa: np.ndarray,
+                    wb: np.ndarray) -> np.ndarray:
+    """(r, r, kh, kw) core x (r, out) x (r, in) -> (out, in, kh, kw)."""
+    return np.einsum("ijkl,ip,jr->prkl", t, wa, wb)
+
+
+def _compose_loha(base: str, site: Site,
+                  g: Dict[str, np.ndarray]) -> np.ndarray:
+    need = {"hada_w1_a", "hada_w1_b", "hada_w2_a", "hada_w2_b"}
+    if not need <= set(g):
+        raise ValueError(f"LoHa module {base!r} is missing factors "
+                         f"{sorted(need - set(g))}")
+    if ("hada_t1" in g) != ("hada_t2" in g):
+        raise ValueError(f"LoHa module {base!r} has a Tucker core on only "
+                         f"one side")
+    if "hada_t1" in g:
+        if site.kind != "conv":
+            raise ValueError(f"LoHa module {base!r} has Tucker cores but "
+                             f"maps to a linear site")
+        m1 = _rebuild_tucker(g["hada_t1"], g["hada_w1_a"], g["hada_w1_b"])
+        m2 = _rebuild_tucker(g["hada_t2"], g["hada_w2_a"], g["hada_w2_b"])
+        r = g["hada_w1_b"].shape[0]
+    else:
+        m1 = g["hada_w1_a"] @ g["hada_w1_b"]
+        m2 = g["hada_w2_a"] @ g["hada_w2_b"]
+        r = g["hada_w1_b"].shape[0]
+    if m1.shape != m2.shape:
+        raise ValueError(f"LoHa module {base!r}: factor shapes disagree "
+                         f"({m1.shape} vs {m2.shape})")
+    alpha = float(np.asarray(g.get("alpha", r)))
+    return (m1 * m2).reshape(_site_shape(site)) * (alpha / r)
+
+
+def _compose_lokr(base: str, site: Site,
+                  g: Dict[str, np.ndarray]) -> np.ndarray:
+    if "lokr_w1" in g:
+        if "lokr_w1_a" in g or "lokr_w1_b" in g:
+            raise ValueError(f"LoKr module {base!r} has both a full w1 and "
+                             f"w1 factors")
+        w1 = g["lokr_w1"]
+        r1 = None
+    elif "lokr_w1_a" in g and "lokr_w1_b" in g:
+        w1 = g["lokr_w1_a"] @ g["lokr_w1_b"]
+        r1 = g["lokr_w1_b"].shape[0]
+    else:
+        raise ValueError(f"LoKr module {base!r} is missing w1")
+    if "lokr_t2" in g:
+        if site.kind != "conv":
+            raise ValueError(f"LoKr module {base!r} has a Tucker core but "
+                             f"maps to a linear site")
+        if not {"lokr_w2_a", "lokr_w2_b"} <= set(g):
+            raise ValueError(f"LoKr module {base!r} has lokr_t2 without "
+                             f"w2 factors")
+        w2 = _rebuild_tucker(g["lokr_t2"], g["lokr_w2_a"], g["lokr_w2_b"])
+        r2 = g["lokr_w2_b"].shape[0]
+    elif "lokr_w2" in g:
+        w2 = g["lokr_w2"]
+        r2 = None
+    elif "lokr_w2_a" in g and "lokr_w2_b" in g:
+        w2 = g["lokr_w2_a"] @ g["lokr_w2_b"]
+        r2 = g["lokr_w2_b"].shape[0]
+    else:
+        raise ValueError(f"LoKr module {base!r} is missing w2")
+    if w1.ndim != 2:
+        raise ValueError(f"LoKr module {base!r}: w1 must be 2-D, got "
+                         f"{w1.shape}")
+    # the webui multiplier: alpha/r applies only when a factored side
+    # defines a rank (w1 factors win, then w2 — matching the loaders the
+    # ecosystem runs); fully-materialized w1 AND w2 ignore alpha
+    r = r1 if r1 is not None else r2
+    alpha = float(np.asarray(g.get("alpha", r if r else 1.0)))
+    scale = (alpha / r) if r else 1.0
+    if w2.ndim == 4:
+        w1 = w1[:, :, None, None]
+    delta = np.kron(w1, w2)
+    want = _site_shape(site)
+    if int(np.prod(delta.shape)) != int(np.prod(want)):
+        raise ValueError(
+            f"LoKr module {base!r}: kron factor shapes compose to "
+            f"{delta.shape}, site needs {want}")
+    return delta.reshape(want) * scale
+
+
+def _compose_ia3(base: str, site: Site, g: Dict[str, np.ndarray],
+                 base_weight: np.ndarray) -> np.ndarray:
+    if not {"weight", "on_input"} <= set(g):
+        raise ValueError(f"IA3 module {base!r} needs 'weight' and "
+                         f"'on_input' tensors")
+    v = np.asarray(g["weight"], np.float32).reshape(-1)
+    on_input = bool(np.asarray(g["on_input"]))
+    w = np.asarray(base_weight, np.float32)
+    axis_dim = site.in_dim if on_input else site.out_dim
+    if v.shape[0] != axis_dim:
+        raise ValueError(
+            f"IA3 module {base!r}: gain has {v.shape[0]} channels, the "
+            f"{'input' if on_input else 'output'} axis has {axis_dim}")
+    shape = [1] * w.ndim
+    shape[1 if on_input else 0] = axis_dim
+    return w * v.reshape(shape)
+
+
+def load_lycoris(
+    path: str,
+    *,
+    unet_sites: Optional[Sequence[Site]] = None,
+    text_sites: Optional[Sequence[Site]] = None,
+    unet_params: Optional[Dict[str, np.ndarray]] = None,
+    text_params: Optional[Dict[str, np.ndarray]] = None,
+    dtype=np.float32,
+) -> Tuple[Optional[LoraTree], Optional[LoraTree]]:
+    """Load a LyCORIS file with per-module algorithm dispatch. Returns
+    (lora_unet, lora_text); a model whose sites are not given (or with no
+    keys in the file) comes back None. Plain LoRA/LoCon modules stay
+    factored (up, down) entries; LoHa/LoKr/IA3 modules become exact
+    full-rank {"delta"} entries. IA3 modules need the corresponding
+    `*_params` (the delta is base-weight-dependent)."""
+    import jax.numpy as jnp
+
+    with SafetensorsFile(path) as f:
+        groups: Dict[str, Dict[str, np.ndarray]] = {}
+        for k in f.keys():
+            base, _, leaf = k.rpartition(".")
+            if leaf == "weight" and base.endswith((".lora_up", ".lora_down",
+                                                   ".lora_mid")):
+                base, _, which = base.rpartition(".")
+                groups.setdefault(base, {})[which] = f.get_tensor(k)
+            elif leaf in ("alpha", "weight", "on_input") or \
+                    leaf.startswith(("hada_", "lokr_")):
+                groups.setdefault(base, {})[leaf] = f.get_tensor(k)
+            else:
+                raise ValueError(f"unrecognized LyCORIS key {k!r}")
+
+        foreign = [b for b in groups
+                   if not any(b.startswith(p + "_")
+                              for p in _PREFIX.values())]
+        if foreign:
+            raise ValueError(
+                f"LyCORIS file has modules under unknown prefixes "
+                f"(SDXL/unsupported model?): {sorted(foreign)[:5]}"
+                f"{'...' if len(foreign) > 5 else ''}")
+
+        out = {}
+        for model, sites, params in (
+                ("unet", unet_sites, unet_params),
+                ("text_encoder", text_sites, text_params)):
+            if sites is None:
+                out[model] = None
+                continue
+            index = _site_index(model, sites)
+            present = {b: g for b, g in groups.items() if b in index}
+            if not present:
+                out[model] = None
+                continue
+            unknown = [b for b in groups
+                       if b.startswith(_PREFIX[model] + "_")
+                       and b not in index]
+            if unknown:
+                raise ValueError(
+                    f"LyCORIS file has {model} modules outside the known "
+                    f"site set: {sorted(unknown)[:5]}"
+                    f"{'...' if len(unknown) > 5 else ''}")
+            by_name = {index[b].name: b for b in present}
+            entries = {}
+            for s in sites:
+                base = by_name.get(s.name)
+                if base is None:
+                    continue
+                g = present[base]
+                algo = _detect_algo(base, set(g))
+                if algo == "lora":
+                    if not {"lora_up", "lora_down"} <= set(g):
+                        raise ValueError(
+                            f"kohya module {base!r} is missing "
+                            f"lora_up/lora_down factors")
+                    up = np.asarray(g["lora_up"], np.float32)
+                    down = np.asarray(g["lora_down"], np.float32)
+                    if "lora_mid" in g:
+                        down = _compose_cp_mid(
+                            base, s, np.asarray(g["lora_mid"], np.float32),
+                            down)
+                    alpha = float(np.asarray(g.get("alpha", down.shape[0])))
+                    up = up * (alpha / down.shape[0])
+                    entries[s.name] = {"up": jnp.asarray(up, dtype),
+                                       "down": jnp.asarray(down, dtype)}
+                    continue
+                if algo == "loha":
+                    delta = _compose_loha(
+                        base, s, {k: np.asarray(v, np.float32)
+                                  if k != "on_input" else v
+                                  for k, v in g.items()})
+                elif algo == "lokr":
+                    delta = _compose_lokr(
+                        base, s, {k: np.asarray(v, np.float32)
+                                  for k, v in g.items()})
+                else:  # ia3
+                    if params is None:
+                        raise ValueError(
+                            f"IA3 module {base!r} needs the {model} base "
+                            f"weights to compose its delta; pass "
+                            f"{model}_params")
+                    bw = params.get(s.name + ".weight")
+                    if bw is None:
+                        raise ValueError(
+                            f"IA3 module {base!r}: no base weight "
+                            f"{s.name + '.weight'!r} in {model} params")
+                    delta = _compose_ia3(base, s, g, np.asarray(bw))
+                want = _site_shape(s)
+                if tuple(delta.shape) != want:
+                    raise ValueError(
+                        f"LyCORIS module {base!r} composes to "
+                        f"{delta.shape}, site {s.name} needs {want}")
+                entries[s.name] = {"delta": jnp.asarray(delta, dtype)}
+            out[model] = ({"sites": entries,
+                           "scale": jnp.asarray(1.0, jnp.float32)}
+                          if entries else None)
+    return out["unet"], out["text_encoder"]

@@ -254,18 +254,27 @@ class StableDiffusionPipeline:
                     unet_locon_sites,
                 )
                 from ..formats.kohya import load_kohya
+                from ..formats.lycoris import is_lycoris, load_lycoris
 
                 # widest site sets (the kohya/LoCon supersets: every
                 # Linear/Conv2d in transformer+resnet+resampler blocks, and
                 # CLIPAttention+CLIPMLP) so full-conv kohya files load; the
                 # lora pytree applies wherever a site is present, so
                 # attn-only files load identically to before
-                lu, lt = load_kohya(
-                    path,
-                    unet_sites=(unet_locon_sites(self.unet_cfg)
-                                if patch_unet else None),
-                    text_sites=(text_encoder_locon_sites(self.text_cfg)
-                                if patch_text else None))
+                u_sites = (unet_locon_sites(self.unet_cfg)
+                           if patch_unet else None)
+                t_sites = (text_encoder_locon_sites(self.text_cfg)
+                           if patch_text else None)
+                if is_lycoris(f.keys()):
+                    # LoHa/LoKr/IA3 factor tensors: per-module dispatch,
+                    # full-rank modules load as exact delta entries
+                    lu, lt = load_lycoris(
+                        path, unet_sites=u_sites, text_sites=t_sites,
+                        unet_params=self.unet_params,
+                        text_params=self.text_params)
+                else:
+                    lu, lt = load_kohya(
+                        path, unet_sites=u_sites, text_sites=t_sites)
                 if lu is not None:
                     self.lora_unet = lu
                 if lt is not None:

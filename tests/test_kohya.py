@@ -122,8 +122,9 @@ def test_locon_mid_factor_on_linear_raises(tmp_path):
 
 
 def test_loha_factors_raise(tmp_path):
-    """Non-LoCon LyCORIS algorithms (LoHa hadamard factors) stay loudly
-    rejected — we never partial-load a decomposition we don't implement."""
+    """load_kohya is the pairs-preserving loader: LoHa factors must be
+    rejected here (patch_pipe routes them to formats/lycoris.py instead) —
+    it never partial-loads a decomposition it doesn't keep factored."""
     lu, _ = make_loras(19)
     p = str(tmp_path / "k.safetensors")
     save_kohya(p, lora_unet=lu, unet_sites=USITES)

@@ -1,0 +1,309 @@
+"""LyCORIS (LoHa / LoKr / IA3) interop (formats/lycoris.py).
+
+Each composition is checked against an independent numpy closed form of
+the published algebra, and end-to-end patched forwards are checked against
+collapse-into-base (delta entries must be EXACT, not approximations).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lora_tpu.core.lora import (
+    collapse_lora,
+    join_loras,
+    lora_delta_conv,
+    lora_delta_dense,
+    lora_from_deltas,
+    lora_to_pairs,
+    stack_loras,
+    tune_lora_scale,
+)
+from lora_tpu.core.sites import unet_locon_sites, unet_lora_sites
+from lora_tpu.formats.kohya import kohya_key
+from lora_tpu.formats.lycoris import is_lycoris, load_lycoris
+from lora_tpu.formats.reader import save_file
+from lora_tpu.models.config import TINY_TEXT, TINY_UNET
+
+USITES = unet_lora_sites(TINY_UNET)
+LSITES = unet_locon_sites(TINY_UNET)
+LIN = USITES[0]                                       # attn1.to_q (c -> c)
+FF = next(s for s in USITES if s.name.endswith("ff.net.0.proj"))  # c -> 8c
+CONV = next(s for s in LSITES if s.name.endswith("resnets.0.conv1"))
+
+
+def _save(tmp_path, tensors, name="lyco.safetensors"):
+    p = str(tmp_path / name)
+    save_file({k: np.asarray(v) for k, v in tensors.items()}, p)
+    return p
+
+
+def _loha_linear_tensors(site, r=3, alpha=None, seed=0, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    key = kohya_key("unet", site.name)
+    t = {
+        key + ".hada_w1_a": rng.randn(site.out_dim, r).astype(dtype),
+        key + ".hada_w1_b": rng.randn(r, site.in_dim).astype(dtype),
+        key + ".hada_w2_a": rng.randn(site.out_dim, r).astype(dtype),
+        key + ".hada_w2_b": rng.randn(r, site.in_dim).astype(dtype),
+    }
+    if alpha is not None:
+        t[key + ".alpha"] = np.asarray(float(alpha), dtype)
+    return t
+
+
+def test_loha_linear_matches_closed_form(tmp_path):
+    r, alpha = 3, 1.5
+    t = _loha_linear_tensors(LIN, r=r, alpha=alpha)
+    p = _save(tmp_path, t)
+    assert is_lycoris(list(t))
+    lu, lt = load_lycoris(p, unet_sites=USITES)
+    assert lt is None and set(lu["sites"]) == {LIN.name}
+    key = kohya_key("unet", LIN.name)
+    want = ((t[key + ".hada_w1_a"] @ t[key + ".hada_w1_b"])
+            * (t[key + ".hada_w2_a"] @ t[key + ".hada_w2_b"])) * (alpha / r)
+    got = np.asarray(lu["sites"][LIN.name]["delta"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # forward application = one matmul with the delta
+    x = np.random.RandomState(1).randn(4, LIN.in_dim).astype(np.float32)
+    d = lora_delta_dense(jnp.asarray(x), lu["sites"][LIN.name], lu["scale"])
+    np.testing.assert_allclose(np.asarray(d), x @ want.T, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_loha_default_alpha_is_rank(tmp_path):
+    t = _loha_linear_tensors(FF, r=2, alpha=None, seed=3)
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=USITES)
+    key = kohya_key("unet", FF.name)
+    want = ((t[key + ".hada_w1_a"] @ t[key + ".hada_w1_b"])
+            * (t[key + ".hada_w2_a"] @ t[key + ".hada_w2_b"]))  # alpha/r = 1
+    np.testing.assert_allclose(np.asarray(lu["sites"][FF.name]["delta"]),
+                               want, rtol=1e-5, atol=1e-5)
+
+
+def test_loha_conv_flat_and_tucker(tmp_path):
+    """Non-Tucker conv factors span in*kh*kw; Tucker factors carry a
+    (r, r, kh, kw) core. Both must compose to the same math as the
+    explicit kernels."""
+    r = 2
+    rng = np.random.RandomState(5)
+    key = kohya_key("unet", CONV.name)
+    kh, kw = CONV.kernel
+    # flat
+    w1a = rng.randn(CONV.out_dim, r).astype(np.float32)
+    w1b = rng.randn(r, CONV.in_dim * kh * kw).astype(np.float32)
+    w2a = rng.randn(CONV.out_dim, r).astype(np.float32)
+    w2b = rng.randn(r, CONV.in_dim * kh * kw).astype(np.float32)
+    p = _save(tmp_path, {key + ".hada_w1_a": w1a, key + ".hada_w1_b": w1b,
+                         key + ".hada_w2_a": w2a, key + ".hada_w2_b": w2b},
+              "flat.safetensors")
+    lu, _ = load_lycoris(p, unet_sites=LSITES)
+    want = ((w1a @ w1b) * (w2a @ w2b)).reshape(CONV.out_dim, CONV.in_dim,
+                                               kh, kw)
+    np.testing.assert_allclose(np.asarray(lu["sites"][CONV.name]["delta"]),
+                               want, rtol=1e-5, atol=1e-5)
+    # the conv bypass equals an explicit convolution with the delta kernel
+    x = jnp.asarray(rng.randn(2, 6, 6, CONV.in_dim).astype(np.float32))
+    d = lora_delta_conv(x, lu["sites"][CONV.name], lu["scale"],
+                        CONV.stride, CONV.padding)
+    ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(want), window_strides=CONV.stride,
+        padding=[(CONV.padding[0],) * 2, (CONV.padding[1],) * 2],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    # tucker
+    t1 = rng.randn(r, r, kh, kw).astype(np.float32)
+    t2 = rng.randn(r, r, kh, kw).astype(np.float32)
+    u1a = rng.randn(r, CONV.out_dim).astype(np.float32)
+    u1b = rng.randn(r, CONV.in_dim).astype(np.float32)
+    u2a = rng.randn(r, CONV.out_dim).astype(np.float32)
+    u2b = rng.randn(r, CONV.in_dim).astype(np.float32)
+    p2 = _save(tmp_path, {key + ".hada_t1": t1, key + ".hada_w1_a": u1a,
+                          key + ".hada_w1_b": u1b, key + ".hada_t2": t2,
+                          key + ".hada_w2_a": u2a, key + ".hada_w2_b": u2b,
+                          key + ".alpha": np.float32(r)},
+               "tucker.safetensors")
+    lu2, _ = load_lycoris(p2, unet_sites=LSITES)
+    m1 = np.einsum("ijkl,ip,jr->prkl", t1, u1a, u1b)
+    m2 = np.einsum("ijkl,ip,jr->prkl", t2, u2a, u2b)
+    np.testing.assert_allclose(np.asarray(lu2["sites"][CONV.name]["delta"]),
+                               m1 * m2, rtol=1e-4, atol=1e-4)
+
+
+def test_lokr_linear_factored_and_full(tmp_path):
+    """kron(w1, w2) with w1 full + w2 factored: alpha scales by the
+    factored rank; with both sides full the multiplier is 1."""
+    rng = np.random.RandomState(7)
+    key = kohya_key("unet", LIN.name)
+    # LIN is c -> c with c = TINY block width; pick kron block sizes
+    out, inn = LIN.out_dim, LIN.in_dim
+    o1, i1 = 4, 4
+    o2, i2 = out // o1, inn // i1
+    r, alpha = 2, 4.0
+    w1 = rng.randn(o1, i1).astype(np.float32)
+    w2a = rng.randn(o2, r).astype(np.float32)
+    w2b = rng.randn(r, i2).astype(np.float32)
+    p = _save(tmp_path, {key + ".lokr_w1": w1, key + ".lokr_w2_a": w2a,
+                         key + ".lokr_w2_b": w2b,
+                         key + ".alpha": np.float32(alpha)})
+    lu, _ = load_lycoris(p, unet_sites=USITES)
+    want = np.kron(w1, w2a @ w2b) * (alpha / r)
+    np.testing.assert_allclose(np.asarray(lu["sites"][LIN.name]["delta"]),
+                               want, rtol=1e-5, atol=1e-5)
+
+    # both sides materialized -> alpha ignored (scale 1)
+    w2 = rng.randn(o2, i2).astype(np.float32)
+    p2 = _save(tmp_path, {key + ".lokr_w1": w1, key + ".lokr_w2": w2,
+                          key + ".alpha": np.float32(alpha)},
+               "full.safetensors")
+    lu2, _ = load_lycoris(p2, unet_sites=USITES)
+    np.testing.assert_allclose(np.asarray(lu2["sites"][LIN.name]["delta"]),
+                               np.kron(w1, w2), rtol=1e-5, atol=1e-5)
+
+
+def test_lokr_conv_full_w2_and_tucker(tmp_path):
+    rng = np.random.RandomState(9)
+    key = kohya_key("unet", CONV.name)
+    kh, kw = CONV.kernel
+    o1, i1 = 4, 4
+    o2, i2 = CONV.out_dim // o1, CONV.in_dim // i1
+    w1 = rng.randn(o1, i1).astype(np.float32)
+    w2 = rng.randn(o2, i2, kh, kw).astype(np.float32)
+    p = _save(tmp_path, {key + ".lokr_w1": w1, key + ".lokr_w2": w2})
+    lu, _ = load_lycoris(p, unet_sites=LSITES)
+    want = np.kron(w1[:, :, None, None], w2)
+    np.testing.assert_allclose(np.asarray(lu["sites"][CONV.name]["delta"]),
+                               want, rtol=1e-5, atol=1e-5)
+
+    r = 2
+    t2 = rng.randn(r, r, kh, kw).astype(np.float32)
+    w2a = rng.randn(r, o2).astype(np.float32)
+    w2b = rng.randn(r, i2).astype(np.float32)
+    p2 = _save(tmp_path, {key + ".lokr_w1": w1, key + ".lokr_t2": t2,
+                          key + ".lokr_w2_a": w2a, key + ".lokr_w2_b": w2b,
+                          key + ".alpha": np.float32(r)},
+               "tucker.safetensors")
+    lu2, _ = load_lycoris(p2, unet_sites=LSITES)
+    w2t = np.einsum("ijkl,ip,jr->prkl", t2, w2a, w2b)
+    want2 = np.kron(w1[:, :, None, None], w2t)
+    np.testing.assert_allclose(np.asarray(lu2["sites"][CONV.name]["delta"]),
+                               want2, rtol=1e-4, atol=1e-4)
+
+
+def test_ia3_needs_and_uses_base_weights(tmp_path):
+    from lora_tpu.models.unet import init_unet
+
+    params = init_unet(TINY_UNET, jax.random.PRNGKey(0))
+    key = kohya_key("unet", LIN.name)
+    v = np.random.RandomState(11).randn(LIN.in_dim).astype(np.float32)
+    p = _save(tmp_path, {key + ".weight": v,
+                         key + ".on_input": np.asarray(True)})
+    with pytest.raises(ValueError, match="base weights"):
+        load_lycoris(p, unet_sites=USITES)
+    lu, _ = load_lycoris(p, unet_sites=USITES, unet_params=params)
+    w = np.asarray(params[LIN.name + ".weight"], np.float32)
+    np.testing.assert_allclose(np.asarray(lu["sites"][LIN.name]["delta"]),
+                               w * v.reshape(1, -1), rtol=1e-5, atol=1e-6)
+
+    # on_input=False gates the output axis
+    v2 = np.random.RandomState(12).randn(LIN.out_dim).astype(np.float32)
+    p2 = _save(tmp_path, {key + ".weight": v2,
+                          key + ".on_input": np.asarray(False)},
+               "out.safetensors")
+    lu2, _ = load_lycoris(p2, unet_sites=USITES, unet_params=params)
+    np.testing.assert_allclose(np.asarray(lu2["sites"][LIN.name]["delta"]),
+                               w * v2.reshape(-1, 1), rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_algorithms_dispatch_per_module(tmp_path):
+    """One file mixing a plain LoRA pair (stays factored) with a LoHa
+    module (becomes a delta entry)."""
+    rng = np.random.RandomState(13)
+    r = 2
+    kq = kohya_key("unet", LIN.name)
+    tensors = {
+        kq + ".lora_down.weight": rng.randn(r, LIN.in_dim).astype(np.float32),
+        kq + ".lora_up.weight": rng.randn(LIN.out_dim, r).astype(np.float32),
+        kq + ".alpha": np.float32(r),
+    }
+    tensors.update(_loha_linear_tensors(FF, r=2, seed=14))
+    p = _save(tmp_path, tensors)
+    lu, _ = load_lycoris(p, unet_sites=USITES)
+    assert set(lu["sites"]) == {LIN.name, FF.name}
+    assert "up" in lu["sites"][LIN.name] and "delta" not in lu["sites"][LIN.name]
+    assert "delta" in lu["sites"][FF.name]
+
+
+def test_patch_pipe_lycoris_equals_collapse(tmp_path):
+    """End-to-end: a patched LyCORIS forward must equal folding the exact
+    deltas into the base weights (delta entries are exact, and collapse
+    supports them)."""
+    from lora_tpu.models.unet import unet_forward
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    tensors = _loha_linear_tensors(LIN, r=2, alpha=1.0, seed=15)
+    key = kohya_key("unet", CONV.name)
+    rng = np.random.RandomState(16)
+    o1, i1 = 4, 4
+    o2, i2 = CONV.out_dim // o1, CONV.in_dim // i1
+    kh, kw = CONV.kernel
+    tensors[key + ".lokr_w1"] = 0.1 * rng.randn(o1, i1).astype(np.float32)
+    tensors[key + ".lokr_w2"] = 0.1 * rng.randn(o2, i2, kh, kw).astype(
+        np.float32)
+    p = _save(tmp_path, tensors)
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT)
+    pipe.patch_pipe(p)
+    assert pipe.lora_unet is not None
+    assert {LIN.name, CONV.name} == set(pipe.lora_unet["sites"])
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4))
+    t = jnp.asarray([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(6),
+                            (1, 4, TINY_UNET.cross_attention_dim))
+    patched = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET,
+                           lora=pipe.lora_unet)
+    folded = collapse_lora(pipe.unet_params, pipe.lora_unet)
+    want = unet_forward(folded, x, t, ctx, TINY_UNET, lora=None)
+    base = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET, lora=None)
+    assert float(jnp.abs(patched - base).max()) > 1e-6
+    np.testing.assert_allclose(np.asarray(patched), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # scale tuning applies to delta entries without recompilation tricks
+    pipe.tune_lora_scale(0.5)
+    half = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET,
+                        lora=pipe.lora_unet)
+    assert float(jnp.abs(half - base).max()) < \
+        float(jnp.abs(patched - base).max())
+
+
+def test_unknown_factor_tensors_raise(tmp_path):
+    tensors = _loha_linear_tensors(LIN, r=2, seed=17)
+    key = kohya_key("unet", LIN.name)
+    tensors[key + ".dora_scale"] = np.zeros((LIN.out_dim, 1), np.float32)
+    with pytest.raises(ValueError, match="unrecognized LyCORIS key"):
+        load_lycoris(_save(tmp_path, tensors), unet_sites=USITES)
+
+
+def test_delta_trees_refuse_factored_only_ops(tmp_path):
+    deltas = [np.random.RandomState(19).randn(
+        LIN.out_dim, LIN.in_dim).astype(np.float32)]
+    tree = lora_from_deltas(deltas, [LIN])
+    with pytest.raises(ValueError, match="no \\(up, down\\) factorization"):
+        lora_to_pairs(tree, [LIN])
+    with pytest.raises(ValueError, match="join requires factored"):
+        join_loras([tree, tree])
+    with pytest.raises(ValueError, match="stack requires factored"):
+        stack_loras([tree, tree])
+    # but scale tuning and collapse work
+    scaled = tune_lora_scale(tree, 2.0)
+    assert float(scaled["scale"]) == 2.0
+    params = {LIN.name + ".weight":
+              jnp.zeros((LIN.out_dim, LIN.in_dim), jnp.float32)}
+    out = collapse_lora(params, tree)
+    np.testing.assert_allclose(np.asarray(out[LIN.name + ".weight"]),
+                               deltas[0], rtol=1e-6, atol=1e-6)
