@@ -51,6 +51,10 @@ def __getattr__(name):
         from .pipelines.sd import StableDiffusionPipeline
 
         return StableDiffusionPipeline
+    if name == "StableDiffusionXLPipeline":
+        from .pipelines.sdxl import StableDiffusionXLPipeline
+
+        return StableDiffusionXLPipeline
     if name == "LoRAManager":
         from .lora_manager import LoRAManager
 

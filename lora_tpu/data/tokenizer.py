@@ -200,19 +200,24 @@ class CLIPTokenizer:
         padding: str = "max_length",
         truncation: bool = True,
         max_length: Optional[int] = None,
+        pad_token_id: Optional[int] = None,
     ):
         """Returns {"input_ids": List[List[int]]} padded with EOS to
-        max_length, BOS/EOS wrapped — CLIP convention."""
+        max_length, BOS/EOS wrapped — CLIP convention. SDXL's second
+        tokenizer pads with "!" (id 0) instead; pass pad_token_id=0 for
+        that convention (the pad identity reaches the conditioning: every
+        position feeds cross-attention, not just the pre-eos ones)."""
         if isinstance(text, str):
             text = [text]
         L = max_length or self.model_max_length
+        pad = self.eos_token_id if pad_token_id is None else pad_token_id
         batch = []
         for t in text:
             ids = [self.bos_token_id] + self.encode(t)
             if truncation:
                 ids = ids[: L - 1]
             ids = ids + [self.eos_token_id]
-            ids = ids + [self.eos_token_id] * (L - len(ids))
+            ids = ids + [pad] * (L - len(ids))
             batch.append(ids[:L])
         return {"input_ids": batch}
 

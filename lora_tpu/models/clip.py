@@ -59,6 +59,12 @@ def init_clip_text(cfg: CLIPTextConfig, rng: jax.Array,
         lin(base + ".mlp.fc1", d, ff)
         lin(base + ".mlp.fc2", ff, d)
     ln("text_model.final_layer_norm")
+    if cfg.projection_dim is not None:
+        # CLIPTextModelWithProjection (SDXL text_encoder_2): bias-free
+        p["text_projection.weight"] = (
+            jax.random.normal(jax.random.fold_in(rng, 7),
+                              (cfg.projection_dim, d)) * d ** -0.5
+        ).astype(dtype)
     return p
 
 
@@ -86,9 +92,20 @@ def clip_text_forward(
     ti_embeds: Optional[jax.Array] = None,
     ti_ids: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    penultimate: bool = False,
+    pooled_eos_id: Optional[int] = None,
 ) -> jax.Array:
     """Returns last_hidden_state (B, T, D) after the final LayerNorm —
-    exactly what SD's conditioning consumes (text_encoder(ids)[0])."""
+    exactly what SD's conditioning consumes (text_encoder(ids)[0]).
+
+    penultimate=True returns the SECOND-TO-LAST layer's hidden state with
+    no final LayerNorm (HF output_hidden_states[-2] — SDXL's conditioning
+    for both encoders; equivalently webui "clip skip 2").
+
+    pooled_eos_id: when set, returns (hidden, pooled) where pooled is the
+    full-depth final-normed state at each row's FIRST eos position, passed
+    through text_projection if the config declares one (HF
+    CLIPTextModelWithProjection.text_embeds — SDXL's add_embedding input)."""
     B, T = input_ids.shape
     d = cfg.hidden_size
     h = cfg.num_attention_heads
@@ -107,7 +124,12 @@ def clip_text_forward(
     def unheads(y):
         return y.transpose(0, 2, 1, 3).reshape(B, T, d)
 
+    penult = None
     for i in range(cfg.num_hidden_layers):
+        if i == cfg.num_hidden_layers - 1:
+            penult = x  # input to the last layer = hidden_states[-2]
+            if penultimate and pooled_eos_id is None:
+                break  # the last layer's output is never consumed
         base = f"text_model.encoder.layers.{i}"
         res = x
         y = layer_norm(params, base + ".layer_norm1", x, cfg.layer_norm_eps)
@@ -123,5 +145,19 @@ def clip_text_forward(
         y = act(dense(params, base + ".mlp.fc1", y, lora))
         x = res + dense(params, base + ".mlp.fc2", y, lora)
 
-    return layer_norm(params, "text_model.final_layer_norm", x,
-                      cfg.layer_norm_eps)
+    hidden = (penult if penultimate
+              else layer_norm(params, "text_model.final_layer_norm", x,
+                              cfg.layer_norm_eps))
+    if pooled_eos_id is None:
+        return hidden
+    final = layer_norm(params, "text_model.final_layer_norm", x,
+                       cfg.layer_norm_eps)
+    # first eos occurrence per row (robust to TI tokens with ids above eos,
+    # unlike the legacy argmax(input_ids) pooling)
+    eos_pos = jnp.argmax((input_ids == pooled_eos_id).astype(jnp.int32),
+                         axis=-1)
+    pooled = final[jnp.arange(B), eos_pos]
+    if "text_projection.weight" in params:
+        pooled = pooled @ params["text_projection.weight"].astype(
+            pooled.dtype).T
+    return hidden, pooled

@@ -65,8 +65,15 @@ def load_unet(model_dir: str, dtype=jnp.float32) -> Tuple[Params, UNetConfig]:
     # configs publish the int 8 (8 heads), the SD2.x configs a per-block
     # list (5, 10, 20, 20) — constant head dim 64 over the block channels
     head_dim = cfg_json.get("attention_head_dim", 8)
+    # SDXL publishes num_attention_heads: null and the real head counts
+    # under attention_head_dim (the same historical misnaming, kept for
+    # checkpoint compat); an explicit num_attention_heads wins if present
+    head_dim = cfg_json.get("num_attention_heads") or head_dim
     num_heads = (tuple(int(h) for h in head_dim)
                  if isinstance(head_dim, (list, tuple)) else int(head_dim))
+    tx = cfg_json.get("transformer_layers_per_block", 1)
+    tx = (tuple(int(t) for t in tx)
+          if isinstance(tx, (list, tuple)) else int(tx))
     cfg = UNetConfig(
         sample_size=cfg_json.get("sample_size", 64),
         in_channels=cfg_json.get("in_channels", 4),
@@ -76,11 +83,16 @@ def load_unet(model_dir: str, dtype=jnp.float32) -> Tuple[Params, UNetConfig]:
         up_block_has_attn=tuple(t.startswith("CrossAttn") for t in up_types),
         layers_per_block=cfg_json.get("layers_per_block", 2),
         num_attention_heads=num_heads,
+        transformer_layers=tx,
         cross_attention_dim=cfg_json.get("cross_attention_dim", 768),
         use_linear_projection=cfg_json.get("use_linear_projection", False),
         norm_num_groups=cfg_json.get("norm_num_groups", 32),
         freq_shift=cfg_json.get("freq_shift", 0),
         flip_sin_to_cos=cfg_json.get("flip_sin_to_cos", True),
+        addition_embed_type=cfg_json.get("addition_embed_type"),
+        addition_time_embed_dim=cfg_json.get("addition_time_embed_dim", 256),
+        projection_class_embeddings_input_dim=cfg_json.get(
+            "projection_class_embeddings_input_dim"),
     )
     sd = _load_state_dict(model_dir)
     return _to_params(sd, dtype), cfg
@@ -122,6 +134,12 @@ def load_text_encoder(model_dir: str, dtype=jnp.float32) -> Tuple[Params, CLIPTe
         num_attention_heads=cfg_json.get("num_attention_heads", 12),
         max_position_embeddings=cfg_json.get("max_position_embeddings", 77),
         hidden_act=cfg_json.get("hidden_act", "quick_gelu"),
+        # SD1.x text configs also carry projection_dim but ship NO
+        # projection weights (architectures: CLIPTextModel); only the
+        # WithProjection export (SDXL text_encoder_2) has the extra matmul
+        projection_dim=(cfg_json.get("projection_dim")
+                        if "CLIPTextModelWithProjection"
+                        in cfg_json.get("architectures", []) else None),
     )
     sd = _load_state_dict(model_dir)
     sd = {k: v for k, v in sd.items()
@@ -190,10 +208,19 @@ def save_pipeline_params(
         "attention_head_dim": (list(u.num_attention_heads)
                                if isinstance(u.num_attention_heads, tuple)
                                else u.num_attention_heads),
+        "transformer_layers_per_block": (
+            list(u.transformer_layers)
+            if isinstance(u.transformer_layers, tuple)
+            else u.transformer_layers),
         "cross_attention_dim": u.cross_attention_dim,
         "use_linear_projection": u.use_linear_projection,
         "norm_num_groups": u.norm_num_groups,
         "freq_shift": u.freq_shift, "flip_sin_to_cos": u.flip_sin_to_cos,
+        **({"addition_embed_type": u.addition_embed_type,
+            "addition_time_embed_dim": u.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim":
+                u.projection_class_embeddings_input_dim}
+           if u.addition_embed_type else {}),
         "down_block_types": [
             "CrossAttnDownBlock2D" if a else "DownBlock2D"
             for a in u.down_block_has_attn],
@@ -213,16 +240,32 @@ def save_pipeline_params(
         "down_block_types": ["DownEncoderBlock2D"] * len(v.block_out_channels),
         "up_block_types": ["UpDecoderBlock2D"] * len(v.block_out_channels),
     })
-    t = pipe.text_cfg
-    dump("text_encoder", pipe.text_params, {
-        "architectures": ["CLIPTextModel"],
-        "vocab_size": t.vocab_size, "hidden_size": t.hidden_size,
-        "intermediate_size": t.intermediate_size,
-        "num_hidden_layers": t.num_hidden_layers,
-        "num_attention_heads": t.num_attention_heads,
-        "max_position_embeddings": t.max_position_embeddings,
-        "hidden_act": t.hidden_act,
-    })
+    def text_cfg_dict(t: CLIPTextConfig) -> dict:
+        return {
+            "architectures": (["CLIPTextModelWithProjection"]
+                              if t.projection_dim is not None
+                              else ["CLIPTextModel"]),
+            "vocab_size": t.vocab_size, "hidden_size": t.hidden_size,
+            "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "max_position_embeddings": t.max_position_embeddings,
+            "hidden_act": t.hidden_act,
+            **({"projection_dim": t.projection_dim}
+               if t.projection_dim is not None else {}),
+        }
+
+    dump("text_encoder", pipe.text_params, text_cfg_dict(pipe.text_cfg))
+    if getattr(pipe, "text2_params", None) is not None:
+        # SDXL dual-encoder layout; the second encoder saves under
+        # text_encoder_2/model.safetensors like diffusers does
+        d2 = os.path.join(path, "text_encoder_2")
+        os.makedirs(d2, exist_ok=True)
+        save_file({k: np.asarray(v, dt)
+                   for k, v in pipe.text2_params.items()},
+                  os.path.join(d2, "model.safetensors"))
+        with open(os.path.join(d2, "config.json"), "w") as f:
+            json.dump(text_cfg_dict(pipe.text2_cfg), f, indent=2)
     sd_dir = os.path.join(path, "scheduler")
     os.makedirs(sd_dir, exist_ok=True)
     s = pipe.schedule

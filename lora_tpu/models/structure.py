@@ -64,7 +64,7 @@ def down_blocks(cfg: UNetConfig) -> List[BlockSpec]:
             resnets.append(ResnetSpec(in_ch if j == 0 else out_ch, out_ch, temb))
             attns.append(
                 AttnSpec(out_ch, cfg.heads_for_block(i),
-                         cfg.cross_attention_dim, cfg.transformer_layers,
+                         cfg.cross_attention_dim, cfg.tx_layers_for_block(i),
                          linear_proj=cfg.use_linear_projection)
                 if cfg.down_block_has_attn[i]
                 else None
@@ -84,7 +84,7 @@ def mid_block(cfg: UNetConfig) -> BlockSpec:
         "mid",
         (ResnetSpec(ch, ch, temb), ResnetSpec(ch, ch, temb)),
         (AttnSpec(ch, cfg.heads_for_block(-1), cfg.cross_attention_dim,
-                  cfg.transformer_layers,
+                  cfg.tx_layers_for_block(-1),
                   linear_proj=cfg.use_linear_projection),),
     )
 
@@ -108,7 +108,8 @@ def up_blocks(cfg: UNetConfig) -> List[BlockSpec]:
             attns.append(
                 # up block i mirrors down block n-1-i (channel level rev[i])
                 AttnSpec(out_ch, cfg.heads_for_block(n - 1 - i),
-                         cfg.cross_attention_dim, cfg.transformer_layers,
+                         cfg.cross_attention_dim,
+                         cfg.tx_layers_for_block(n - 1 - i),
                          linear_proj=cfg.use_linear_projection)
                 if cfg.up_block_has_attn[i]
                 else None

@@ -1,4 +1,4 @@
-"""SD-1.5 UNet2DCondition, functional JAX/NHWC.
+"""UNet2DCondition (SD-1.x / SD-2.x / SDXL topologies), functional JAX/NHWC.
 
 Replaces the reference's `diffusers.UNet2DConditionModel` dependency
 (cli_lora_pti.py:120-127). Param names match the HF diffusers state_dict so
@@ -10,7 +10,7 @@ ResnetBlock2D targets (lora.py:159-161).
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +115,11 @@ def init_unet(cfg: UNetConfig, rng: jax.Array, dtype=jnp.float32) -> Params:
     ini.conv("conv_in", cfg.in_channels, c0)
     ini.lin("time_embedding.linear_1", c0, temb)
     ini.lin("time_embedding.linear_2", temb, temb)
+    if cfg.addition_embed_type == "text_time":
+        # SDXL micro-conditioning MLP over [pooled text | sinus(time_ids)]
+        ini.lin("add_embedding.linear_1",
+                cfg.projection_class_embeddings_input_dim, temb)
+        ini.lin("add_embedding.linear_2", temb, temb)
 
     for i, block in enumerate(structure.down_blocks(cfg)):
         pre = f"down_blocks.{i}"
@@ -224,9 +229,20 @@ def unet_forward(
     cfg: UNetConfig,
     lora=None,
     remat: bool = False,
+    added_cond: Optional[Dict[str, jax.Array]] = None,
 ) -> jax.Array:
+    """added_cond (SDXL, cfg.addition_embed_type == "text_time"):
+    {"text_embeds": (B, pooled_dim), "time_ids": (B, 6)} — the pooled
+    text-encoder-2 embedding plus original-size/crop/target-size ids,
+    embedded and summed into the timestep embedding."""
     dt = sample.dtype
     c0 = cfg.block_out_channels[0]
+    if (added_cond is None) != (cfg.addition_embed_type is None):
+        raise ValueError(
+            f"added_cond must be passed iff the config declares "
+            f"addition_embed_type (got added_cond="
+            f"{'set' if added_cond is not None else 'None'} with "
+            f"addition_embed_type={cfg.addition_embed_type!r})")
 
     # gradient checkpointing: rematerialize each resnet/transformer block in
     # the backward pass (reference enable_gradient_checkpointing,
@@ -242,6 +258,24 @@ def unet_forward(
     ).astype(dt)
     temb = dense(params, "time_embedding.linear_1", temb, lora=None)
     temb = dense(params, "time_embedding.linear_2", silu(temb), lora=None)
+
+    if added_cond is not None:
+        # SDXL "text_time": six time_ids each get a sinusoidal embedding
+        # (same [cos|sin] layout as timesteps), flattened and concatenated
+        # after the pooled text embed, then a 2-layer MLP; the result is
+        # summed into the timestep embedding before any block consumes it.
+        text_embeds = added_cond["text_embeds"]
+        time_ids = added_cond["time_ids"]
+        B = time_ids.shape[0]
+        t_emb = timestep_embedding(
+            time_ids.reshape(-1), cfg.addition_time_embed_dim,
+            flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift,
+        ).reshape(B, -1)
+        add = jnp.concatenate(
+            [text_embeds.astype(dt), t_emb.astype(dt)], axis=-1)
+        add = dense(params, "add_embedding.linear_1", add, lora=None)
+        add = dense(params, "add_embedding.linear_2", silu(add), lora=None)
+        temb = temb + add
 
     h = conv2d(params, "conv_in", sample, padding=(1, 1))
     skips: List[jax.Array] = [h]

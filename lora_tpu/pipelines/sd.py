@@ -78,10 +78,14 @@ def _denoise_loop(
     sigmas: Optional[jax.Array] = None,
     noise_rng: Optional[jax.Array] = None,
     lora_idx: Optional[jax.Array] = None,
+    add_text_embeds: Optional[jax.Array] = None,
+    add_time_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Denoise loop under one jit (ddim | pndm | euler | euler_a | dpm++).
     ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate).
-    lora_idx: per-sample adapter routing for stacked LoRAs."""
+    lora_idx: per-sample adapter routing for stacked LoRAs.
+    add_text_embeds/add_time_ids: SDXL text_time micro-conditioning, rows
+    aligned with ctx (already uncond+cond-stacked under CFG)."""
     sched = schedulers.NoiseSchedule(
         num_train_timesteps=1000, alphas_cumprod=sched_alphas,
         final_alpha_cumprod=final_alpha,
@@ -93,6 +97,11 @@ def _denoise_loop(
                      else lora_idx)
         lora_unet = {**lora_unet, "idx": model_idx}
 
+    added_cond = None
+    if add_text_embeds is not None:
+        added_cond = {"text_embeds": add_text_embeds,
+                      "time_ids": add_time_ids}
+
     def eps_at(lat, t, scale_in=None):
         inp = lat if scale_in is None else scale_in
         if extra_channels is not None:
@@ -100,7 +109,7 @@ def _denoise_loop(
         model_in = jnp.concatenate([inp, inp], 0) if use_cfg else inp
         tt = jnp.full((model_in.shape[0],), t, jnp.int32)
         out = unet_forward(unet_params, model_in, tt, ctx, unet_cfg,
-                           lora=lora_unet)
+                           lora=lora_unet, added_cond=added_cond)
         if use_cfg:
             B = lat.shape[0]
             u, c = out[:B], out[B:]

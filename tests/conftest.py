@@ -46,7 +46,7 @@ SLOW_MODULES = {
     "test_clip_hf_parity", "test_clip_vision", "test_flash_attention",
     "test_goldens", "test_hf_import", "test_models", "test_pipeline",
     "test_serve", "test_torch_oracle", "test_trainers", "test_training",
-    "test_profiling", "test_extras", "test_quantize",
+    "test_profiling", "test_extras", "test_quantize", "test_sdxl_pipeline",
 }
 
 
