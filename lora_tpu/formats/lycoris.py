@@ -1,5 +1,5 @@
-"""LyCORIS (LoHa / LoKr / IA3) interop — the kohya-family algorithms
-beyond plain LoRA/LoCon.
+"""LyCORIS (LoHa / LoKr / IA3 / DoRA / diag-OFT) interop — the
+kohya-family algorithms beyond plain LoRA/LoCon.
 
 These share the kohya key schema (`lora_unet_<path>.<factor>` /
 `lora_te_<path>.<factor>`, see formats/kohya.py) but factor the weight
@@ -19,13 +19,29 @@ delta differently:
   dW = W * v with v broadcast over the input axis (`on_input` true) or
   the output axis. The delta depends on the BASE weight, so loading
   requires the model's params.
+- **DoRA** (weight-decomposed LoRA): plain LoRA factors plus a learned
+  per-output-channel magnitude `dora_scale` m; the merged weight is
+  W' = m * (W + dW_lora) / ||W + dW_lora||_row (row = per output channel
+  over all remaining axes, + fp32 eps — the LyCORIS `wd` /PEFT DoRA
+  algebra). Base-weight-dependent, so loading requires params. Our tree
+  scale lerps `W + s*(W' - W)`, which is EXACTLY LyCORIS's multiplier
+  semantics (it lerps merged vs original weights linearly).
+- **diag-OFT**: a block-diagonal orthogonal transform of the output
+  channels. `oft_blocks` (k, b, b) parametrizes per-block skew
+  Q = q - q^T, Cayley R = (I+Q)(I-Q)^-1, and W'[k,m,:] =
+  sum_n R[k,n,m] W[k,n,:] over out reshaped to (k, b) — the kohya
+  sd-scripts networks/oft.py construction, with its norm constraint
+  ||Q||_F <= alpha * out_dim when `alpha` > 0 and the LyCORIS
+  "rescaled" variant's per-channel `rescale` applied after the
+  rotation. Base-weight-dependent.
 
-The Hadamard/Kronecker compositions are full-rank, so they load as exact
-`{"delta"}` entries in the LoRA pytree (core/lora.lora_from_deltas) rather
-than (up, down) pairs; forward application, scale tuning, collapse and
-removal all work identically. A single file may mix algorithms per module
-(plain LoRA pairs included — those stay factored). Unknown factor keys
-(LoHa++/GLoRA/diag-OFT/norm tensors, `dora_scale`, ...) raise loudly so a
+The Hadamard/Kronecker/DoRA/OFT compositions are full-rank, so they load
+as exact `{"delta"}` entries in the LoRA pytree
+(core/lora.lora_from_deltas) rather than (up, down) pairs; forward
+application, scale tuning, collapse and removal all work identically. A
+single file may mix algorithms per module (plain LoRA pairs included —
+those stay factored). Unknown factor keys (LoHa++/GLoRA/BOFT butterfly
+factors, norm-module `w_norm`/`b_norm` tensors, ...) raise loudly so a
 partial load can never pass silently.
 
 The reference repo predates LyCORIS entirely (its formats are the
@@ -55,25 +71,38 @@ _LOKR_LEAVES = {"lokr_w1", "lokr_w1_a", "lokr_w1_b",
 # trainers write .alpha for IA3 modules too; apply-time loaders ignore it
 # (the gain is absolute), so we accept-and-ignore rather than reject
 _IA3_LEAVES = {"weight", "on_input", "alpha"}
+_DORA_LEAVES = _LORA_LEAVES | {"dora_scale"}
+_OFT_LEAVES = {"oft_blocks", "alpha", "rescale"}
 
 def is_lycoris(keys: Sequence[str]) -> bool:
-    """True if any key carries a LoHa/LoKr/IA3 factor (vs plain kohya
-    LoRA/LoCon, which formats/kohya.py loads keeping the factorization)."""
+    """True if any key carries a LoHa/LoKr/IA3/DoRA/OFT factor (vs plain
+    kohya LoRA/LoCon, which formats/kohya.py loads keeping the
+    factorization)."""
     for k in keys:
         leaf = k.rpartition(".")[2]
-        if leaf.startswith(("hada_", "lokr_")) or leaf == "on_input":
+        if leaf.startswith(("hada_", "lokr_")) or \
+                leaf in ("on_input", "dora_scale", "oft_blocks"):
             return True
     return False
 
 
 def _detect_algo(base: str, leaves: set) -> str:
-    for algo, known in (("lora", _LORA_LEAVES), ("loha", _LOHA_LEAVES),
-                        ("lokr", _LOKR_LEAVES), ("ia3", _IA3_LEAVES)):
-        if leaves <= known:
-            return algo
+    # magnitude/rotation tensors are unambiguous markers; check them first
+    # (a DoRA group is a superset of the plain-LoRA leaf set)
+    if "dora_scale" in leaves:
+        if leaves <= _DORA_LEAVES:
+            return "dora"
+    elif "oft_blocks" in leaves:
+        if leaves <= _OFT_LEAVES:
+            return "oft"
+    else:
+        for algo, known in (("lora", _LORA_LEAVES), ("loha", _LOHA_LEAVES),
+                            ("lokr", _LOKR_LEAVES), ("ia3", _IA3_LEAVES)):
+            if leaves <= known:
+                return algo
     raise ValueError(
         f"kohya module {base!r} has unsupported factor tensors "
-        f"{sorted(leaves)} (LoHa++/GLoRA/OFT/DoRA?); refusing a partial "
+        f"{sorted(leaves)} (LoHa++/GLoRA/BOFT/norm?); refusing a partial "
         f"load")
 
 
@@ -184,6 +213,88 @@ def _compose_ia3(base: str, site: Site, g: Dict[str, np.ndarray],
     return w * v.reshape(shape)
 
 
+def _lora_delta_weightspace(base: str, site: Site,
+                            g: Dict[str, np.ndarray]) -> np.ndarray:
+    """Materialize a plain (up, down[, mid]) kohya pair as its exact
+    weight-space delta: dW = up . down * alpha/r in the site's geometry
+    (a kxk down conv followed by a 1x1 up composes into one kxk kernel)."""
+    if not {"lora_up", "lora_down"} <= set(g):
+        raise ValueError(f"kohya module {base!r} is missing "
+                         f"lora_up/lora_down factors")
+    up = np.asarray(g["lora_up"], np.float32)
+    down = np.asarray(g["lora_down"], np.float32)
+    if "lora_mid" in g:
+        down = _compose_cp_mid(base, site,
+                               np.asarray(g["lora_mid"], np.float32), down)
+    r = down.shape[0]
+    alpha = float(np.asarray(g.get("alpha", r)))
+    want = _site_shape(site)
+    prod = up.reshape(up.shape[0], -1) @ down.reshape(r, -1)
+    if prod.size != int(np.prod(want)):
+        raise ValueError(
+            f"kohya module {base!r}: factors compose to {prod.shape}, "
+            f"site needs {want}")
+    return prod.reshape(want) * (alpha / r)
+
+
+def _compose_dora(base: str, site: Site, g: Dict[str, np.ndarray],
+                  base_weight: np.ndarray) -> np.ndarray:
+    """DoRA merged weight: m * (W + dW) / ||W + dW||_row — row norm per
+    output channel over all remaining axes + fp32 eps (the LyCORIS
+    weight-decompose / PEFT DoRA algebra). Returns W' - W."""
+    w = np.asarray(base_weight, np.float32).reshape(_site_shape(site))
+    m = np.asarray(g["dora_scale"], np.float32).reshape(-1)
+    if m.shape[0] != site.out_dim:
+        raise ValueError(
+            f"DoRA module {base!r}: dora_scale has {m.shape[0]} channels, "
+            f"the output axis has {site.out_dim}")
+    wp = w + _lora_delta_weightspace(base, site, g)
+    norm = np.linalg.norm(wp.reshape(wp.shape[0], -1), axis=1)
+    norm = norm + np.finfo(np.float32).eps
+    bshape = (site.out_dim,) + (1,) * (wp.ndim - 1)
+    merged = m.reshape(bshape) * wp / norm.reshape(bshape)
+    return merged - w
+
+
+def _compose_oft(base: str, site: Site, g: Dict[str, np.ndarray],
+                 base_weight: np.ndarray) -> np.ndarray:
+    """diag-OFT merged weight: per-block Cayley rotation of the output
+    channels (kohya sd-scripts networks/oft.py construction) with the
+    optional LyCORIS rescale gain. Returns W' - W."""
+    q = np.asarray(g["oft_blocks"], np.float32)
+    if q.ndim != 3 or q.shape[1] != q.shape[2]:
+        raise ValueError(
+            f"OFT module {base!r}: oft_blocks must be (num_blocks, b, b), "
+            f"got {q.shape} (4-D factors are BOFT butterfly blocks — "
+            f"unsupported)")
+    k, b, _ = q.shape
+    if k * b != site.out_dim:
+        raise ValueError(
+            f"OFT module {base!r}: {k} blocks of size {b} cover "
+            f"{k * b} channels, the output axis has {site.out_dim}")
+    skew = q - np.transpose(q, (0, 2, 1))
+    alpha = g.get("alpha")
+    if alpha is not None and float(np.asarray(alpha)) > 0:
+        # sd-scripts: constraint = alpha * out_dim, clamp ||Q||_F over all
+        # blocks (eps 1e-8 matching its clamp arithmetic)
+        constraint = float(np.asarray(alpha)) * site.out_dim
+        n = float(np.linalg.norm(skew))
+        skew = skew * ((min(n, constraint) + 1e-8) / (n + 1e-8))
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    w = np.asarray(base_weight, np.float32).reshape(_site_shape(site))
+    merged = np.einsum("knm,knr->kmr", rot,
+                       w.reshape(k, b, -1)).reshape(w.shape)
+    if "rescale" in g:
+        s = np.asarray(g["rescale"], np.float32).reshape(-1)
+        if s.shape[0] != site.out_dim:
+            raise ValueError(
+                f"OFT module {base!r}: rescale has {s.shape[0]} channels, "
+                f"the output axis has {site.out_dim}")
+        merged = merged * s.reshape((site.out_dim,) + (1,) * (w.ndim - 1))
+    return merged - w
+
+
 def load_lycoris(
     path: str,
     *,
@@ -196,9 +307,10 @@ def load_lycoris(
     """Load a LyCORIS file with per-module algorithm dispatch. Returns
     (lora_unet, lora_text); a model whose sites are not given (or with no
     keys in the file) comes back None. Plain LoRA/LoCon modules stay
-    factored (up, down) entries; LoHa/LoKr/IA3 modules become exact
-    full-rank {"delta"} entries. IA3 modules need the corresponding
-    `*_params` (the delta is base-weight-dependent)."""
+    factored (up, down) entries; LoHa/LoKr/IA3/DoRA/diag-OFT modules
+    become exact full-rank {"delta"} entries. IA3/DoRA/OFT modules need
+    the corresponding `*_params` (their deltas are
+    base-weight-dependent)."""
     import jax.numpy as jnp
 
     with SafetensorsFile(path) as f:
@@ -209,7 +321,8 @@ def load_lycoris(
                                                    ".lora_mid")):
                 base, _, which = base.rpartition(".")
                 groups.setdefault(base, {})[which] = f.get_tensor(k)
-            elif leaf in ("alpha", "weight", "on_input") or \
+            elif leaf in ("alpha", "weight", "on_input", "dora_scale",
+                          "oft_blocks", "rescale") or \
                     leaf.startswith(("hada_", "lokr_")):
                 groups.setdefault(base, {})[leaf] = f.get_tensor(k)
             else:
@@ -268,6 +381,18 @@ def load_lycoris(
                     entries[s.name] = {"up": jnp.asarray(up, dtype),
                                        "down": jnp.asarray(down, dtype)}
                     continue
+                if algo in ("ia3", "dora", "oft"):
+                    if params is None:
+                        raise ValueError(
+                            f"{algo.upper()} module {base!r} needs the "
+                            f"{model} base weights to compose its delta; "
+                            f"pass {model}_params")
+                    bw = params.get(s.name + ".weight")
+                    if bw is None:
+                        raise ValueError(
+                            f"{algo.upper()} module {base!r}: no base "
+                            f"weight {s.name + '.weight'!r} in {model} "
+                            f"params")
                 if algo == "loha":
                     delta = _compose_loha(
                         base, s, {k: np.asarray(v, np.float32)
@@ -277,17 +402,11 @@ def load_lycoris(
                     delta = _compose_lokr(
                         base, s, {k: np.asarray(v, np.float32)
                                   for k, v in g.items()})
+                elif algo == "dora":
+                    delta = _compose_dora(base, s, g, np.asarray(bw))
+                elif algo == "oft":
+                    delta = _compose_oft(base, s, g, np.asarray(bw))
                 else:  # ia3
-                    if params is None:
-                        raise ValueError(
-                            f"IA3 module {base!r} needs the {model} base "
-                            f"weights to compose its delta; pass "
-                            f"{model}_params")
-                    bw = params.get(s.name + ".weight")
-                    if bw is None:
-                        raise ValueError(
-                            f"IA3 module {base!r}: no base weight "
-                            f"{s.name + '.weight'!r} in {model} params")
                     delta = _compose_ia3(base, s, g, np.asarray(bw))
                 want = _site_shape(s)
                 if tuple(delta.shape) != want:

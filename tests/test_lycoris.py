@@ -1,4 +1,5 @@
-"""LyCORIS (LoHa / LoKr / IA3) interop (formats/lycoris.py).
+"""LyCORIS (LoHa / LoKr / IA3 / DoRA / diag-OFT) interop
+(formats/lycoris.py).
 
 Each composition is checked against an independent numpy closed form of
 the published algebra, and end-to-end patched forwards are checked against
@@ -282,11 +283,19 @@ def test_patch_pipe_lycoris_equals_collapse(tmp_path):
 
 
 def test_unknown_factor_tensors_raise(tmp_path):
+    # norm-module tensors (LyCORIS full/norm algorithms) stay unsupported
     tensors = _loha_linear_tensors(LIN, r=2, seed=17)
     key = kohya_key("unet", LIN.name)
-    tensors[key + ".dora_scale"] = np.zeros((LIN.out_dim, 1), np.float32)
+    tensors[key + ".w_norm"] = np.zeros((LIN.out_dim,), np.float32)
     with pytest.raises(ValueError, match="unrecognized LyCORIS key"):
         load_lycoris(_save(tmp_path, tensors), unet_sites=USITES)
+    # a recognized leaf in an inconsistent group (LoHa factors + a DoRA
+    # magnitude) must refuse the module, not guess an algorithm
+    tensors2 = _loha_linear_tensors(LIN, r=2, seed=18)
+    tensors2[key + ".dora_scale"] = np.ones((LIN.out_dim, 1), np.float32)
+    with pytest.raises(ValueError, match="unsupported factor tensors"):
+        load_lycoris(_save(tmp_path, tensors2, "mix.safetensors"),
+                     unet_sites=USITES)
 
 
 def test_delta_trees_refuse_factored_only_ops(tmp_path):
@@ -307,3 +316,159 @@ def test_delta_trees_refuse_factored_only_ops(tmp_path):
     out = collapse_lora(params, tree)
     np.testing.assert_allclose(np.asarray(out[LIN.name + ".weight"]),
                                deltas[0], rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def unet_params():
+    from lora_tpu.models.unet import init_unet
+
+    return init_unet(TINY_UNET, jax.random.PRNGKey(0))
+
+
+def test_dora_linear_matches_closed_form(tmp_path, unet_params):
+    """DoRA: m * (W + dW) / ||W + dW||_row - W, row norm per output
+    channel (the LyCORIS weight-decompose / PEFT algebra)."""
+    rng = np.random.RandomState(21)
+    r, alpha = 2, 1.5
+    key = kohya_key("unet", LIN.name)
+    up = rng.randn(LIN.out_dim, r).astype(np.float32)
+    down = rng.randn(r, LIN.in_dim).astype(np.float32)
+    m = (rng.rand(LIN.out_dim, 1) + 0.5).astype(np.float32)
+    t = {key + ".lora_up.weight": up, key + ".lora_down.weight": down,
+         key + ".alpha": np.float32(alpha), key + ".dora_scale": m}
+    p = _save(tmp_path, t)
+    assert is_lycoris(list(t))
+    with pytest.raises(ValueError, match="base weights"):
+        load_lycoris(p, unet_sites=USITES)
+    lu, _ = load_lycoris(p, unet_sites=USITES, unet_params=unet_params)
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    wp = w + (up @ down) * (alpha / r)
+    norm = np.linalg.norm(wp, axis=1, keepdims=True) \
+        + np.finfo(np.float32).eps
+    want = m * wp / norm - w
+    np.testing.assert_allclose(
+        np.asarray(lu["sites"][LIN.name]["delta"]), want, rtol=1e-5,
+        atol=1e-6)
+    # tree scale lerps merged vs base weights — exactly LyCORIS's
+    # multiplier semantics (merged = W + mult * (W' - W))
+    half = tune_lora_scale(lu, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(half["sites"][LIN.name]["delta"])
+        * float(half["scale"]), 0.5 * want, rtol=1e-5, atol=1e-6)
+
+
+def test_dora_conv_matches_closed_form(tmp_path, unet_params):
+    rng = np.random.RandomState(22)
+    r = 2
+    kh, kw = CONV.kernel
+    key = kohya_key("unet", CONV.name)
+    up = rng.randn(CONV.out_dim, r, 1, 1).astype(np.float32)
+    down = rng.randn(r, CONV.in_dim, kh, kw).astype(np.float32)
+    m = (rng.rand(CONV.out_dim, 1, 1, 1) + 0.5).astype(np.float32)
+    t = {key + ".lora_up.weight": up, key + ".lora_down.weight": down,
+         key + ".dora_scale": m}
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=LSITES,
+                         unet_params=unet_params)
+    w = np.asarray(unet_params[CONV.name + ".weight"], np.float32)
+    dw = (up.reshape(CONV.out_dim, r) @ down.reshape(r, -1)).reshape(
+        w.shape)  # default alpha = r -> multiplier 1
+    wp = w + dw
+    norm = np.linalg.norm(wp.reshape(wp.shape[0], -1), axis=1).reshape(
+        -1, 1, 1, 1) + np.finfo(np.float32).eps
+    want = m * wp / norm - w
+    np.testing.assert_allclose(
+        np.asarray(lu["sites"][CONV.name]["delta"]), want, rtol=1e-4,
+        atol=1e-5)
+
+
+def test_oft_linear_cayley_constraint_and_rescale(tmp_path, unet_params):
+    """diag-OFT: per-block skew -> Cayley rotation of output channels;
+    alpha clamps ||Q||_F at alpha*out_dim; rescale gains per channel."""
+    rng = np.random.RandomState(23)
+    key = kohya_key("unet", LIN.name)
+    k = 4
+    b = LIN.out_dim // k
+    q = (0.1 * rng.randn(k, b, b)).astype(np.float32)
+    p = _save(tmp_path, {key + ".oft_blocks": q})
+    assert is_lycoris([key + ".oft_blocks"])
+    lu, _ = load_lycoris(p, unet_sites=USITES, unet_params=unet_params)
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 2, 1)
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    # the Cayley map of a skew matrix is orthogonal
+    np.testing.assert_allclose(np.matmul(rot, rot.transpose(0, 2, 1)),
+                               np.broadcast_to(eye, rot.shape), atol=1e-5)
+    want = np.einsum("knm,knr->kmr", rot,
+                     w.reshape(k, b, -1)).reshape(w.shape) - w
+    np.testing.assert_allclose(
+        np.asarray(lu["sites"][LIN.name]["delta"]), want, rtol=1e-4,
+        atol=1e-5)
+
+    # zero blocks -> identity rotation -> exactly zero delta
+    pz = _save(tmp_path, {key + ".oft_blocks": np.zeros_like(q)},
+               "zero.safetensors")
+    luz, _ = load_lycoris(pz, unet_sites=USITES, unet_params=unet_params)
+    assert float(np.abs(np.asarray(
+        luz["sites"][LIN.name]["delta"])).max()) == 0.0
+
+    # a binding constraint shrinks the skew before the Cayley map
+    alpha = 1e-3
+    pc = _save(tmp_path, {key + ".oft_blocks": q,
+                          key + ".alpha": np.float32(alpha)},
+               "con.safetensors")
+    luc, _ = load_lycoris(pc, unet_sites=USITES, unet_params=unet_params)
+    cmax = alpha * LIN.out_dim
+    n = float(np.linalg.norm(skew))
+    assert n > cmax  # the clamp must actually bind in this fixture
+    skew_c = skew * ((min(n, cmax) + 1e-8) / (n + 1e-8))
+    rot_c = np.matmul(eye + skew_c, np.linalg.inv(eye - skew_c))
+    want_c = np.einsum("knm,knr->kmr", rot_c,
+                       w.reshape(k, b, -1)).reshape(w.shape) - w
+    np.testing.assert_allclose(
+        np.asarray(luc["sites"][LIN.name]["delta"]), want_c, rtol=1e-4,
+        atol=1e-6)
+
+    # rescaled variant: per-output-channel gain after the rotation
+    s = (rng.rand(LIN.out_dim, 1) + 0.5).astype(np.float32)
+    pr = _save(tmp_path, {key + ".oft_blocks": q, key + ".rescale": s},
+               "res.safetensors")
+    lur, _ = load_lycoris(pr, unet_sites=USITES, unet_params=unet_params)
+    want_r = s * np.einsum("knm,knr->kmr", rot,
+                           w.reshape(k, b, -1)).reshape(w.shape) - w
+    np.testing.assert_allclose(
+        np.asarray(lur["sites"][LIN.name]["delta"]), want_r, rtol=1e-4,
+        atol=1e-5)
+
+
+def test_oft_conv_rotates_output_channels(tmp_path, unet_params):
+    rng = np.random.RandomState(24)
+    key = kohya_key("unet", CONV.name)
+    k = 2
+    b = CONV.out_dim // k
+    q = (0.1 * rng.randn(k, b, b)).astype(np.float32)
+    lu, _ = load_lycoris(_save(tmp_path, {key + ".oft_blocks": q}),
+                         unet_sites=LSITES, unet_params=unet_params)
+    w = np.asarray(unet_params[CONV.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 2, 1)
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    want = np.einsum("knm,knr->kmr", rot,
+                     w.reshape(k, b, -1)).reshape(w.shape) - w
+    np.testing.assert_allclose(
+        np.asarray(lu["sites"][CONV.name]["delta"]), want, rtol=1e-4,
+        atol=1e-5)
+
+
+def test_boft_butterfly_blocks_rejected(tmp_path, unet_params):
+    key = kohya_key("unet", LIN.name)
+    q4 = np.zeros((2, 2, LIN.out_dim // 4, LIN.out_dim // 4), np.float32)
+    with pytest.raises(ValueError, match="BOFT butterfly"):
+        load_lycoris(_save(tmp_path, {key + ".oft_blocks": q4}),
+                     unet_sites=USITES, unet_params=unet_params)
+    # block grid that doesn't tile the output axis
+    qbad = np.zeros((3, 5, 5), np.float32)
+    with pytest.raises(ValueError, match="output axis has"):
+        load_lycoris(_save(tmp_path, {key + ".oft_blocks": qbad},
+                           "bad.safetensors"),
+                     unet_sites=USITES, unet_params=unet_params)
