@@ -22,12 +22,20 @@ def svd_distill_cli(
     save_path: str = "svd_distill.safetensors",
     extended: bool = False,
     locon: bool = False,
+    from_lora: bool = False,
 ):
     """`--locon` distills over the full kohya/LoCon module superset (every
     Linear/Conv2d in transformer, resnet, and resampler blocks + CLIP MLP)
     and writes a kohya-schema file — the reference-format file cannot
     express those sites, and LoCon is a kohya-ecosystem concept. Beyond
-    cli_svd.py: the reference cannot produce full-conv distillations."""
+    cli_svd.py: the reference cannot produce full-conv distillations.
+
+    `--from_lora` treats TARGET_MODEL as a kohya/LyCORIS-schema
+    .safetensors adapter instead of a diffusers dir: the file is loaded
+    against BASE_MODEL (full-rank LoHa/LoKr/IA3/DoRA/diag-OFT compositions
+    included), collapsed into the base weights, and re-distilled at the
+    requested rank — a one-command converter from any LyCORIS algorithm to
+    a plain (up, down) LoRA (reference schema, or kohya with --locon)."""
     from ..core.sites import (
         text_encoder_locon_sites,
         text_encoder_lora_sites,
@@ -43,7 +51,32 @@ def svd_distill_cli(
             "already covers the extended (resnet/conv) sites via the kohya "
             "schema; pass exactly one")
     base_unet, base_text, _, (ucfg, tcfg, _) = load_pipeline_params(base_model)
-    tuned_unet, tuned_text, _, _ = load_pipeline_params(target_model)
+    if from_lora:
+        from ..core.lora import collapse_lora
+        from ..formats.kohya import load_kohya
+        from ..formats.lycoris import is_lycoris, load_lycoris
+        from ..formats.reader import SafetensorsFile
+
+        with SafetensorsFile(target_model) as f:
+            keys = list(f.keys())
+        if not any(k.startswith(("lora_unet_", "lora_te_")) for k in keys):
+            raise ValueError(
+                "--from_lora expects a kohya/LyCORIS-schema .safetensors "
+                "adapter (lora_unet_*/lora_te_* keys); reference-schema "
+                "files are already plain (up, down) pairs")
+        u_all = unet_locon_sites(ucfg)
+        t_all = text_encoder_locon_sites(tcfg)
+        if is_lycoris(keys):
+            lu, lt = load_lycoris(target_model, unet_sites=u_all,
+                                  text_sites=t_all, unet_params=base_unet,
+                                  text_params=base_text)
+        else:
+            lu, lt = load_kohya(target_model, unet_sites=u_all,
+                                text_sites=t_all)
+        tuned_unet = collapse_lora(base_unet, lu) if lu else base_unet
+        tuned_text = collapse_lora(base_text, lt) if lt else base_text
+    else:
+        tuned_unet, tuned_text, _, _ = load_pipeline_params(target_model)
 
     if locon:
         usites = unet_locon_sites(ucfg)

@@ -317,3 +317,71 @@ def test_svd_distill_cli_rejects_conflicting_target_flags(tmp_path):
         svd_distill_cli(target_model=str(tmp_path / "nonexistent_tuned"),
                         base_model=str(tmp_path / "nonexistent_base"),
                         extended=True, locon=True)
+
+
+def test_svd_distill_from_lora_converts_dora_to_plain_pairs(pipe, tmp_path):
+    """--from_lora: a DoRA kohya file (base-weight-dependent, full-rank
+    delta) converts to a plain reference-schema (up, down) LoRA in one
+    command. At full rank with clamp off the conversion is exact, so the
+    distilled file's patched forward must match the DoRA original's."""
+    import dataclasses
+
+    from lora_tpu.cli.lora_distill import svd_distill_cli
+    from lora_tpu.formats.kohya import kohya_key
+    from lora_tpu.formats.reader import save_file
+    from lora_tpu.models.hf_import import save_pipeline_params
+    from lora_tpu.models.unet import unet_forward
+
+    base_dir = str(tmp_path / "base")
+    save_pipeline_params(pipe, base_dir)
+    usites = pipe.unet_sites()
+    lin = usites[0]
+    rng = np.random.RandomState(31)
+    key = kohya_key("unet", lin.name)
+    up = (0.1 * rng.randn(lin.out_dim, 2)).astype(np.float32)
+    down = rng.randn(2, lin.in_dim).astype(np.float32)
+    m = (rng.rand(lin.out_dim, 1) + 0.5).astype(np.float32)
+    src = str(tmp_path / "dora.safetensors")
+    save_file({key + ".lora_up.weight": up,
+               key + ".lora_down.weight": down,
+               key + ".alpha": np.float32(2.0),
+               key + ".dora_scale": m}, src)
+
+    out = str(tmp_path / "plain.safetensors")
+    svd_distill_cli(target_model=src, base_model=base_dir,
+                    rank=min(lin.out_dim, lin.in_dim), clamp_quantile=1.0,
+                    save_path=out, from_lora=True)
+
+    orig = dataclasses.replace(pipe)
+    orig.patch_pipe(src)
+    conv = dataclasses.replace(pipe)
+    conv.patch_pipe(out, patch_ti=False)
+    assert "delta" in orig.lora_unet["sites"][lin.name]
+    assert "up" in conv.lora_unet["sites"][lin.name]
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4))
+    t = jnp.asarray([7])
+    ctx = jax.random.normal(jax.random.PRNGKey(6),
+                            (1, 4, TINY_UNET.cross_attention_dim))
+    a = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET,
+                     lora=orig.lora_unet)
+    b = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET,
+                     lora=conv.lora_unet)
+    base = unet_forward(pipe.unet_params, x, t, ctx, TINY_UNET, lora=None)
+    assert float(jnp.abs(a - base).max()) > 1e-4  # the adapter does act
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_svd_distill_from_lora_rejects_reference_schema(pipe, tmp_path):
+    from lora_tpu.cli.lora_distill import svd_distill_cli
+    from lora_tpu.models.hf_import import save_pipeline_params
+
+    base_dir = str(tmp_path / "base")
+    save_pipeline_params(pipe, base_dir)
+    ref_file = str(tmp_path / "ref.safetensors")
+    tiny_lora_file(pipe, ref_file, seed=9, ti=False)
+    with pytest.raises(ValueError, match="already plain"):
+        svd_distill_cli(target_model=ref_file, base_model=base_dir,
+                        save_path=str(tmp_path / "o.safetensors"),
+                        from_lora=True)
