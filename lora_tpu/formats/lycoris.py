@@ -295,6 +295,25 @@ def _compose_oft(base: str, site: Site, g: Dict[str, np.ndarray],
     return merged - w
 
 
+def _parse_groups(f: SafetensorsFile) -> Dict[str, Dict[str, np.ndarray]]:
+    """Group a LyCORIS file's keys per module base, accepting every factor
+    leaf any supported algorithm uses; anything else raises."""
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for k in f.keys():
+        base, _, leaf = k.rpartition(".")
+        if leaf == "weight" and base.endswith((".lora_up", ".lora_down",
+                                               ".lora_mid")):
+            base, _, which = base.rpartition(".")
+            groups.setdefault(base, {})[which] = f.get_tensor(k)
+        elif leaf in ("alpha", "weight", "on_input", "dora_scale",
+                      "oft_blocks", "rescale") or \
+                leaf.startswith(("hada_", "lokr_")):
+            groups.setdefault(base, {})[leaf] = f.get_tensor(k)
+        else:
+            raise ValueError(f"unrecognized LyCORIS key {k!r}")
+    return groups
+
+
 def load_lycoris(
     path: str,
     *,
@@ -314,19 +333,7 @@ def load_lycoris(
     import jax.numpy as jnp
 
     with SafetensorsFile(path) as f:
-        groups: Dict[str, Dict[str, np.ndarray]] = {}
-        for k in f.keys():
-            base, _, leaf = k.rpartition(".")
-            if leaf == "weight" and base.endswith((".lora_up", ".lora_down",
-                                                   ".lora_mid")):
-                base, _, which = base.rpartition(".")
-                groups.setdefault(base, {})[which] = f.get_tensor(k)
-            elif leaf in ("alpha", "weight", "on_input", "dora_scale",
-                          "oft_blocks", "rescale") or \
-                    leaf.startswith(("hada_", "lokr_")):
-                groups.setdefault(base, {})[leaf] = f.get_tensor(k)
-            else:
-                raise ValueError(f"unrecognized LyCORIS key {k!r}")
+        groups = _parse_groups(f)
 
         foreign = [b for b in groups
                    if not any(b.startswith(p + "_")
@@ -357,64 +364,135 @@ def load_lycoris(
                     f"LyCORIS file has {model} modules outside the known "
                     f"site set: {sorted(unknown)[:5]}"
                     f"{'...' if len(unknown) > 5 else ''}")
-            by_name = {index[b].name: b for b in present}
-            entries = {}
-            for s in sites:
-                base = by_name.get(s.name)
-                if base is None:
-                    continue
-                g = present[base]
-                algo = _detect_algo(base, set(g))
-                if algo == "lora":
-                    if not {"lora_up", "lora_down"} <= set(g):
-                        raise ValueError(
-                            f"kohya module {base!r} is missing "
-                            f"lora_up/lora_down factors")
-                    up = np.asarray(g["lora_up"], np.float32)
-                    down = np.asarray(g["lora_down"], np.float32)
-                    if "lora_mid" in g:
-                        down = _compose_cp_mid(
-                            base, s, np.asarray(g["lora_mid"], np.float32),
-                            down)
-                    alpha = float(np.asarray(g.get("alpha", down.shape[0])))
-                    up = up * (alpha / down.shape[0])
-                    entries[s.name] = {"up": jnp.asarray(up, dtype),
-                                       "down": jnp.asarray(down, dtype)}
-                    continue
-                if algo in ("ia3", "dora", "oft"):
-                    if params is None:
-                        raise ValueError(
-                            f"{algo.upper()} module {base!r} needs the "
-                            f"{model} base weights to compose its delta; "
-                            f"pass {model}_params")
-                    bw = params.get(s.name + ".weight")
-                    if bw is None:
-                        raise ValueError(
-                            f"{algo.upper()} module {base!r}: no base "
-                            f"weight {s.name + '.weight'!r} in {model} "
-                            f"params")
-                if algo == "loha":
-                    delta = _compose_loha(
-                        base, s, {k: np.asarray(v, np.float32)
-                                  if k != "on_input" else v
-                                  for k, v in g.items()})
-                elif algo == "lokr":
-                    delta = _compose_lokr(
-                        base, s, {k: np.asarray(v, np.float32)
-                                  for k, v in g.items()})
-                elif algo == "dora":
-                    delta = _compose_dora(base, s, g, np.asarray(bw))
-                elif algo == "oft":
-                    delta = _compose_oft(base, s, g, np.asarray(bw))
-                else:  # ia3
-                    delta = _compose_ia3(base, s, g, np.asarray(bw))
-                want = _site_shape(s)
-                if tuple(delta.shape) != want:
-                    raise ValueError(
-                        f"LyCORIS module {base!r} composes to "
-                        f"{delta.shape}, site {s.name} needs {want}")
-                entries[s.name] = {"delta": jnp.asarray(delta, dtype)}
+            entries = _entries_for_sites(model, present, index, sites,
+                                         params, dtype)
             out[model] = ({"sites": entries,
                            "scale": jnp.asarray(1.0, jnp.float32)}
                           if entries else None)
     return out["unet"], out["text_encoder"]
+
+
+def _entries_for_sites(model, present, index, sites, params, dtype):
+    """Per-site algorithm dispatch shared by the SD1.x/2.x and SDXL
+    loaders: `present` maps kohya module bases to their factor groups,
+    `index` maps those bases to Sites."""
+    import jax.numpy as jnp
+
+    by_name = {index[b].name: b for b in present}
+    entries = {}
+    for s in sites:
+        base = by_name.get(s.name)
+        if base is None:
+            continue
+        g = present[base]
+        algo = _detect_algo(base, set(g))
+        if algo == "lora":
+            if not {"lora_up", "lora_down"} <= set(g):
+                raise ValueError(
+                    f"kohya module {base!r} is missing "
+                    f"lora_up/lora_down factors")
+            up = np.asarray(g["lora_up"], np.float32)
+            down = np.asarray(g["lora_down"], np.float32)
+            if "lora_mid" in g:
+                down = _compose_cp_mid(
+                    base, s, np.asarray(g["lora_mid"], np.float32),
+                    down)
+            alpha = float(np.asarray(g.get("alpha", down.shape[0])))
+            up = up * (alpha / down.shape[0])
+            entries[s.name] = {"up": jnp.asarray(up, dtype),
+                               "down": jnp.asarray(down, dtype)}
+            continue
+        if algo in ("ia3", "dora", "oft"):
+            if params is None:
+                raise ValueError(
+                    f"{algo.upper()} module {base!r} needs the "
+                    f"{model} base weights to compose its delta; "
+                    f"pass {model}_params")
+            bw = params.get(s.name + ".weight")
+            if bw is None:
+                raise ValueError(
+                    f"{algo.upper()} module {base!r}: no base "
+                    f"weight {s.name + '.weight'!r} in {model} "
+                    f"params")
+        if algo == "loha":
+            delta = _compose_loha(
+                base, s, {k: np.asarray(v, np.float32)
+                          if k != "on_input" else v
+                          for k, v in g.items()})
+        elif algo == "lokr":
+            delta = _compose_lokr(
+                base, s, {k: np.asarray(v, np.float32)
+                          for k, v in g.items()})
+        elif algo == "dora":
+            delta = _compose_dora(base, s, g, np.asarray(bw))
+        elif algo == "oft":
+            delta = _compose_oft(base, s, g, np.asarray(bw))
+        else:  # ia3
+            delta = _compose_ia3(base, s, g, np.asarray(bw))
+        want = _site_shape(s)
+        if tuple(delta.shape) != want:
+            raise ValueError(
+                f"LyCORIS module {base!r} composes to "
+                f"{delta.shape}, site {s.name} needs {want}")
+        entries[s.name] = {"delta": jnp.asarray(delta, dtype)}
+    return entries
+
+
+def load_lycoris_xl(
+    path: str,
+    *,
+    unet_cfg,
+    unet_sites: Optional[Sequence[Site]] = None,
+    text_sites: Optional[Sequence[Site]] = None,
+    text2_sites: Optional[Sequence[Site]] = None,
+    unet_params: Optional[Dict[str, np.ndarray]] = None,
+    text_params: Optional[Dict[str, np.ndarray]] = None,
+    text2_params: Optional[Dict[str, np.ndarray]] = None,
+    dtype=np.float32,
+) -> Tuple[Optional[LoraTree], Optional[LoraTree], Optional[LoraTree]]:
+    """SDXL-flavor LyCORIS: the same per-module algorithm dispatch as
+    load_lycoris over the SDXL kohya key layout (LDM
+    input/middle/output_blocks unet names + lora_te1_/lora_te2_ text
+    prefixes — formats/kohya._xl_index). Returns (lora_unet, lora_te1,
+    lora_te2) with the same loud-failure contract; IA3/DoRA/OFT modules
+    need the matching `*_params`."""
+    import jax.numpy as jnp
+
+    from .kohya import _PREFIX_XL, _xl_index
+
+    with SafetensorsFile(path) as f:
+        groups = _parse_groups(f)
+        foreign = [b for b in groups
+                   if not any(b.startswith(p + "_")
+                              for p in _PREFIX_XL.values())]
+        if foreign:
+            raise ValueError(
+                f"SDXL LyCORIS file has modules under unknown prefixes: "
+                f"{sorted(foreign)[:5]}{'...' if len(foreign) > 5 else ''}")
+        out = {}
+        for model, sites, params in (
+                ("unet", unet_sites, unet_params),
+                ("text_encoder", text_sites, text_params),
+                ("text_encoder_2", text2_sites, text2_params)):
+            if sites is None:
+                out[model] = None
+                continue
+            index = _xl_index(model, sites, unet_cfg)
+            present = {b: g for b, g in groups.items() if b in index}
+            if not present:
+                out[model] = None
+                continue
+            unknown = [b for b in groups
+                       if b.startswith(_PREFIX_XL[model] + "_")
+                       and b not in index]
+            if unknown:
+                raise ValueError(
+                    f"SDXL LyCORIS file has {model} modules outside the "
+                    f"known site set: {sorted(unknown)[:5]}"
+                    f"{'...' if len(unknown) > 5 else ''}")
+            entries = _entries_for_sites(model, present, index, sites,
+                                         params, dtype)
+            out[model] = ({"sites": entries,
+                           "scale": jnp.asarray(1.0, jnp.float32)}
+                          if entries else None)
+    return out["unet"], out["text_encoder"], out["text_encoder_2"]

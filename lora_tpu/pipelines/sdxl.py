@@ -127,22 +127,35 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
     def patch_pipe(self, path: str, patch_unet=True, patch_text=True,
                    patch_ti=True):
         """Load an SDXL kohya-schema LoRA (lora_unet_ + lora_te1_/lora_te2_
-        keys, LDM input/middle/output_blocks unet naming) onto the pipe."""
+        keys, LDM input/middle/output_blocks unet naming) onto the pipe.
+        LyCORIS algorithm files (LoHa/LoKr/IA3/DoRA/diag-OFT) are
+        auto-detected and dispatched per module, same as SD1.x
+        patch_pipe."""
         from ..core.sites import (
             text_encoder_locon_sites,
             unet_locon_sites,
         )
         from ..formats.kohya import load_kohya_xl
+        from ..formats.lycoris import is_lycoris, load_lycoris_xl
+        from ..formats.reader import SafetensorsFile
 
-        lu, lt1, lt2 = load_kohya_xl(
-            path,
-            unet_cfg=self.unet_cfg,
-            unet_sites=(unet_locon_sites(self.unet_cfg)
-                        if patch_unet else None),
-            text_sites=(text_encoder_locon_sites(self.text_cfg)
-                        if patch_text else None),
-            text2_sites=(text_encoder_locon_sites(self.text2_cfg)
-                         if patch_text else None))
+        u_sites = unet_locon_sites(self.unet_cfg) if patch_unet else None
+        t_sites = (text_encoder_locon_sites(self.text_cfg)
+                   if patch_text else None)
+        t2_sites = (text_encoder_locon_sites(self.text2_cfg)
+                    if patch_text else None)
+        with SafetensorsFile(path) as f:
+            lycoris = is_lycoris(f.keys())
+        if lycoris:
+            lu, lt1, lt2 = load_lycoris_xl(
+                path, unet_cfg=self.unet_cfg, unet_sites=u_sites,
+                text_sites=t_sites, text2_sites=t2_sites,
+                unet_params=self.unet_params, text_params=self.text_params,
+                text2_params=self.text2_params)
+        else:
+            lu, lt1, lt2 = load_kohya_xl(
+                path, unet_cfg=self.unet_cfg, unet_sites=u_sites,
+                text_sites=t_sites, text2_sites=t2_sites)
         if lu is not None:
             self.lora_unet = lu
         if lt1 is not None:

@@ -139,3 +139,79 @@ def test_save_load_diffusers_layout(pipe, tmp_path):
     b = reloaded("a cat", num_inference_steps=2, height=32, width=32,
                  rng=jax.random.PRNGKey(5))
     np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_patch_pipe_lycoris_xl(pipe, tmp_path):
+    """SDXL LyCORIS: a LoHa unet module (LDM key naming) and a DoRA te2
+    module (lora_te2_ prefix) dispatch per-module through patch_pipe and
+    land as exact full-rank deltas; closed forms checked per algorithm."""
+    import dataclasses
+
+    from lora_tpu.formats.kohya import _xl_index
+    from lora_tpu.formats.lycoris import load_lycoris_xl
+    from lora_tpu.formats.reader import save_file
+
+    usites = unet_locon_sites(TINY_XL_UNET)
+    t2 = text_encoder_locon_sites(TINY_XL_TEXT2)
+    uidx = _xl_index("unet", usites, TINY_XL_UNET)
+    t2idx = _xl_index("text_encoder_2", t2, TINY_XL_UNET)
+    ubase, usite = next((k, s) for k, s in uidx.items()
+                        if s.kind == "linear")
+    tbase, tsite = next((k, s) for k, s in t2idx.items()
+                        if s.kind == "linear")
+    rng = np.random.RandomState(41)
+    r = 2
+    tensors = {
+        ubase + ".hada_w1_a": rng.randn(usite.out_dim, r).astype(np.float32),
+        ubase + ".hada_w1_b": rng.randn(r, usite.in_dim).astype(np.float32),
+        ubase + ".hada_w2_a": rng.randn(usite.out_dim, r).astype(np.float32),
+        ubase + ".hada_w2_b": rng.randn(r, usite.in_dim).astype(np.float32),
+        tbase + ".lora_up.weight":
+            (0.1 * rng.randn(tsite.out_dim, r)).astype(np.float32),
+        tbase + ".lora_down.weight":
+            rng.randn(r, tsite.in_dim).astype(np.float32),
+        tbase + ".dora_scale":
+            (rng.rand(tsite.out_dim, 1) + 0.5).astype(np.float32),
+    }
+    p = str(tmp_path / "lyco_xl.safetensors")
+    save_file(tensors, p)
+
+    # base-weight-dependent modules demand params
+    with pytest.raises(ValueError, match="base weights"):
+        load_lycoris_xl(p, unet_cfg=TINY_XL_UNET, text2_sites=t2)
+
+    pp = dataclasses.replace(pipe)
+    pp.patch_pipe(p)
+    assert pp.lora_unet is not None and pp.lora_text2 is not None
+    assert pp.lora_text is None
+
+    # LoHa closed form (alpha defaults to r -> multiplier 1)
+    want_u = ((tensors[ubase + ".hada_w1_a"]
+               @ tensors[ubase + ".hada_w1_b"])
+              * (tensors[ubase + ".hada_w2_a"]
+                 @ tensors[ubase + ".hada_w2_b"]))
+    np.testing.assert_allclose(
+        np.asarray(pp.lora_unet["sites"][usite.name]["delta"]), want_u,
+        rtol=1e-5, atol=1e-5)
+
+    # DoRA closed form against the pipe's te2 base weight
+    w = np.asarray(pipe.text2_params[tsite.name + ".weight"], np.float32)
+    wp = w + (tensors[tbase + ".lora_up.weight"]
+              @ tensors[tbase + ".lora_down.weight"])
+    norm = np.linalg.norm(wp, axis=1, keepdims=True) \
+        + np.finfo(np.float32).eps
+    want_t = tensors[tbase + ".dora_scale"] * wp / norm - w
+    np.testing.assert_allclose(
+        np.asarray(pp.lora_text2["sites"][tsite.name]["delta"]), want_t,
+        rtol=1e-5, atol=1e-6)
+
+    # the adapter acts end to end, and removal restores the base output
+    base_img = pipe("a cat", num_inference_steps=2, height=32, width=32,
+                    rng=jax.random.PRNGKey(3))
+    lyco_img = pp("a cat", num_inference_steps=2, height=32, width=32,
+                  rng=jax.random.PRNGKey(3))
+    assert float(np.abs(lyco_img - base_img).max()) > 1e-6
+    pp.remove_lora()
+    off_img = pp("a cat", num_inference_steps=2, height=32, width=32,
+                 rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(off_img, base_img)
