@@ -10,13 +10,19 @@ from ..training.dreambooth import DreamBoothConfig, train_dreambooth
 
 def train(pretrained_model_name_or_path: str = "",
           mixed_precision: str = None, **kwargs):
+    import os
+
     import jax.numpy as jnp
 
-    from ..pipelines.sd import StableDiffusionPipeline
-
     dtype = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
-    pipe = StableDiffusionPipeline.from_pretrained(
-        pretrained_model_name_or_path, dtype=dtype)
+    # SDXL checkpoint dirs carry a second text encoder; train the XL way
+    # (dual encoders, text_time conditioning, kohya-XL artifacts)
+    if os.path.isdir(os.path.join(pretrained_model_name_or_path,
+                                  "text_encoder_2")):
+        from ..pipelines.sdxl import StableDiffusionXLPipeline as Pipe
+    else:
+        from ..pipelines.sd import StableDiffusionPipeline as Pipe
+    pipe = Pipe.from_pretrained(pretrained_model_name_or_path, dtype=dtype)
     from ._fire import coerce_kwargs_to_dataclass
 
     kwargs = coerce_kwargs_to_dataclass(DreamBoothConfig, kwargs)

@@ -117,6 +117,20 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                      cfg: DreamBoothConfig) -> dict:
     os.makedirs(cfg.output_dir, exist_ok=True)
     dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
+    # SDXL: dual text encoders + text_time micro-conditioning. Artifacts go
+    # out in the kohya-XL schema (lora_te1_/lora_te2_, LDM unet names) —
+    # the reference's indexed format predates SDXL and can't express it.
+    is_xl = pipe.unet_cfg.addition_embed_type == "text_time"
+    if is_xl:
+        if cfg.output_format != "safe":
+            raise ValueError(
+                "SDXL training saves in the kohya-XL schema only; set "
+                "output_format='safe' (the reference's indexed format has "
+                "no second text encoder)")
+        if cfg.resume_unet or cfg.resume_text_encoder:
+            raise ValueError(
+                "SDXL training does not support .pt adapter resume; use "
+                "save_train_state/resume_state for run continuation")
     # only process 0 writes to the (shared) output dir — metrics, periodic
     # and final artifacts, preemption state (parallel/mesh.is_main_process)
     main = mesh_lib.is_main_process()
@@ -163,6 +177,14 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         raise ValueError(
             f"lora_targets must be default|extended|locon, "
             f"got {cfg.lora_targets!r}")
+    tsites2 = None
+    if is_xl:
+        if cfg.lora_targets == "locon":
+            from ..core.sites import text_encoder_locon_sites
+
+            tsites2 = text_encoder_locon_sites(pipe.text2_cfg)
+        else:
+            tsites2 = text_encoder_lora_sites(pipe.text2_cfg)
     trainable = {
         "lora_unet": lora_core.init_lora(
             usites, r=cfg.lora_rank, rng=jax.random.PRNGKey(cfg.seed)),
@@ -176,6 +198,10 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         if cfg.resume_text_encoder:
             trainable["lora_text"] = lora_core.lora_from_flat(
                 pt_io.load_lora_pt(cfg.resume_text_encoder), tsites)
+        if is_xl:
+            trainable["lora_text2"] = lora_core.init_lora(
+                tsites2, r=cfg.lora_rank,
+                rng=jax.random.PRNGKey(cfg.seed + 2))
 
     ds = DreamBoothDataset(
         instance_data_root=cfg.instance_data_dir,
@@ -268,6 +294,10 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         lrs["lora_text"] = make_lr_schedule(
             cfg.lr_scheduler, cfg.learning_rate_text * lr_scale,
             cfg.max_train_steps, cfg.lr_warmup_steps)
+        if is_xl:
+            lrs["lora_text2"] = make_lr_schedule(
+                cfg.lr_scheduler, cfg.learning_rate_text * lr_scale,
+                cfg.max_train_steps, cfg.lr_warmup_steps)
     opt = make_optimizer(trainable, lrs,
                          weight_decay=cfg.adam_weight_decay,
                          max_grad_norm=cfg.max_grad_norm,
@@ -283,9 +313,13 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     step_fn = make_train_step(
         unet_cfg=pipe.unet_cfg, text_cfg=pipe.text_cfg, vae_cfg=pipe.vae_cfg,
         sched=pipe.schedule, loss_cfg=loss_cfg, optimizer=opt, dtype=dtype,
-        mesh=mesh)
+        mesh=mesh,
+        text2_cfg=pipe.text2_cfg if is_xl else None,
+        eos_id=int(pipe.tokenizer.eos_token_id) if is_xl else None)
 
-    base = (pipe.unet_params, pipe.text_params, pipe.vae_params)
+    base = ((pipe.unet_params, pipe.text_params, pipe.text2_params,
+             pipe.vae_params) if is_xl
+            else (pipe.unet_params, pipe.text_params, pipe.vae_params))
     if mesh is not None:
         base = tuple(mesh_lib.shard_params(
             p, mesh, use_fsdp=cfg.fsdp > 1, use_tp=cfg.tensor_parallel > 1)
@@ -299,6 +333,16 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         if not main:
             return
         name = ("lora_weight" if final else f"lora_weight_s{step_tag}")
+        if is_xl:
+            from ..formats.kohya import save_kohya_xl
+
+            save_kohya_xl(
+                os.path.join(cfg.output_dir, name + ".safetensors"),
+                unet_cfg=pipe.unet_cfg,
+                lora_unet=trainable.get("lora_unet"), unet_sites=usites,
+                lora_text=trainable.get("lora_text"), text_sites=tsites,
+                lora_text2=trainable.get("lora_text2"), text2_sites=tsites2)
+            return
         if cfg.lora_targets == "locon":
             from ..formats.kohya import save_kohya
 
@@ -335,6 +379,24 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
     if cache_text:
         from ..pipelines.sd import _jit_text_encode
 
+        if is_xl:
+            from .loss import ids2_from_ids
+            from ..pipelines.sdxl import _jit_dual_encode
+
+            eos = int(pipe.tokenizer.eos_token_id)
+
+        def _encode_rows(ids_np):
+            if is_xl:
+                # dual encode: (context 2048-d, te2 pooled) — both cached
+                return _jit_dual_encode(
+                    pipe.text_params, pipe.text2_params,
+                    jnp.asarray(ids_np),
+                    jnp.asarray(ids2_from_ids(ids_np, eos)),
+                    pipe.text_cfg, pipe.text2_cfg, None, None, dtype, eos)
+            return _jit_text_encode(
+                pipe.text_params, jnp.asarray(ids_np), pipe.text_cfg,
+                None, dtype)
+
         def embed_ids(ids_batch):
             if (isinstance(ids_batch, jax.Array)
                     and not ids_batch.is_fully_addressable):
@@ -352,9 +414,7 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
             ids_np = np.asarray(ids_batch)
             key = ids_np.tobytes()
             if key not in text_emb_cache:
-                text_emb_cache[key] = _jit_text_encode(
-                    pipe.text_params, jnp.asarray(ids_np), pipe.text_cfg,
-                    None, dtype)
+                text_emb_cache[key] = _encode_rows(ids_np)
             return text_emb_cache[key]
 
     rng = jax.random.PRNGKey(cfg.seed + 7)
@@ -395,7 +455,27 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                 break
             batch = next(loader)
             if cache_text:
-                batch["encoder_hidden_states"] = embed_ids(batch.pop("input_ids"))
+                emb = embed_ids(batch.pop("input_ids"))
+                if is_xl:
+                    (batch["encoder_hidden_states"],
+                     batch["add_text_embeds"]) = emb
+                else:
+                    batch["encoder_hidden_states"] = emb
+            if is_xl:
+                # text_time micro-conditioning at the training resolution:
+                # original size / crop top-left / target size, one row per
+                # PROCESS-LOCAL batch row (shard_batch assembles host
+                # arrays from process-local blocks)
+                ref = (batch["latents"] if cfg.cached_latents
+                       else batch["pixel_values"])
+                nrows = ref.shape[0]
+                if (isinstance(ref, jax.Array)
+                        and not ref.is_fully_addressable):
+                    nrows //= jax.process_count()
+                row = np.asarray([cfg.resolution, cfg.resolution, 0, 0,
+                                  cfg.resolution, cfg.resolution],
+                                 np.float32)
+                batch["add_time_ids"] = np.tile(row, (nrows, 1))
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 batch = mesh_lib.shard_batch(batch, mesh)

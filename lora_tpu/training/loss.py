@@ -46,6 +46,18 @@ def _resize_mask_nearest(mask: jax.Array, h: int, w: int) -> jax.Array:
     return mask[:, ys][:, :, xs]
 
 
+def ids2_from_ids(ids, eos_id: int):
+    """Derive SDXL tokenizer_2 ids from tokenizer_1 ids: both tokenizers
+    share the BPE vocab; the only difference is padding (te1 pads with EOS,
+    te2 pads with id 0 — pipelines/sdxl.py module docstring). BPE cannot
+    emit EOS mid-text, so every position strictly AFTER the first EOS is
+    padding: zero it. Works for numpy and jax arrays."""
+    np_mod = jnp if isinstance(ids, jax.Array) else __import__("numpy")
+    is_eos = (ids == eos_id).astype(np_mod.int32)
+    after = np_mod.cumsum(is_eos, axis=-1) - is_eos
+    return np_mod.where(after > 0, 0, ids)
+
+
 def loss_step(
     trainable: Dict,
     batch: Dict[str, jax.Array],
@@ -61,6 +73,11 @@ def loss_step(
     cfg: LossConfig,
     ti_ids: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    # SDXL (unet_cfg.addition_embed_type == "text_time"): the second text
+    # encoder and the tokenizer EOS id (for deriving te2 ids + pooling)
+    text2_params=None,
+    text2_cfg: Optional[CLIPTextConfig] = None,
+    eos_id: Optional[int] = None,
 ) -> jax.Array:
     k_vae, k_noise, k_t, k_drop, k_mvae = jax.random.split(rng, 5)
 
@@ -95,11 +112,34 @@ def loss_step(
 
     lora_text = trainable.get("lora_text")
     ti = trainable.get("ti")
+    xl = unet_cfg.addition_embed_type == "text_time"
+    pooled = None
     if "encoder_hidden_states" in batch:
         # precomputed text embeddings (valid only when neither text LoRA nor
         # TI trains — the trainer guards this); removes CLIP from the hot
-        # loop just like VAE latent caching removes the VAE
+        # loop just like VAE latent caching removes the VAE. For SDXL the
+        # cache also carries te2's projected pooled EOS embedding.
         encoder_hidden = batch["encoder_hidden_states"].astype(dtype)
+        if xl:
+            pooled = batch["add_text_embeds"].astype(dtype)
+    elif xl:
+        # dual-encoder SDXL conditioning (pipelines/sdxl._jit_dual_encode):
+        # both encoders at the penultimate layer, features concatenated;
+        # te2 additionally yields the pooled projected EOS embedding
+        if ti is not None:
+            raise ValueError("textual inversion is not supported for SDXL "
+                             "training (dual-tokenizer TI is out of scope)")
+        ids = batch["input_ids"]
+        ids2 = batch.get("input_ids_2")
+        if ids2 is None:
+            ids2 = ids2_from_ids(ids, eos_id)
+        h1 = clip_text_forward(text_params, ids, text_cfg, lora=lora_text,
+                               dtype=dtype, penultimate=True)
+        h2, pooled = clip_text_forward(
+            text2_params, ids2, text2_cfg,
+            lora=trainable.get("lora_text2"), dtype=dtype,
+            penultimate=True, pooled_eos_id=eos_id)
+        encoder_hidden = jnp.concatenate([h1, h2.astype(h1.dtype)], -1)
     else:
         encoder_hidden = clip_text_forward(
             text_params, batch["input_ids"], text_cfg, lora=lora_text,
@@ -110,9 +150,14 @@ def loss_step(
     if lora_unet is not None and cfg.lora_dropout_p > 0.0:
         lora_unet = {**lora_unet, "rng": k_drop,
                      "dropout_p": cfg.lora_dropout_p}
+    added_cond = None
+    if xl:
+        added_cond = {"text_embeds": pooled.astype(dtype),
+                      "time_ids": batch["add_time_ids"].astype(dtype)}
     model_pred = unet_forward(unet_params, model_input, timesteps,
                               encoder_hidden, unet_cfg, lora=lora_unet,
-                              remat=cfg.gradient_checkpointing)
+                              remat=cfg.gradient_checkpointing,
+                              added_cond=added_cond)
 
     if sched.prediction_type == "epsilon":
         target = noise

@@ -31,17 +31,25 @@ def make_train_step(
     ti_ids=None,
     dtype=jnp.float32,
     mesh=None,
+    text2_cfg=None,
+    eos_id=None,
 ) -> Callable:
     """Returns step(trainable, opt_state, base, batch, rng) ->
-    (trainable, opt_state, loss) where base = (unet_p, text_p, vae_p)."""
+    (trainable, opt_state, loss) where base = (unet_p, text_p, vae_p), or
+    (unet_p, text_p, text2_p, vae_p) when text2_cfg is given (SDXL)."""
 
     def loss_fn(trainable, base, batch, rng):
-        unet_p, text_p, vae_p = base
+        if text2_cfg is not None:
+            unet_p, text_p, text2_p, vae_p = base
+        else:
+            unet_p, text_p, vae_p = base
+            text2_p = None
         return loss_step(
             trainable, batch, rng,
             unet_params=unet_p, text_params=text_p, vae_params=vae_p,
             unet_cfg=unet_cfg, text_cfg=text_cfg, vae_cfg=vae_cfg,
-            sched=sched, cfg=loss_cfg, ti_ids=ti_ids, dtype=dtype)
+            sched=sched, cfg=loss_cfg, ti_ids=ti_ids, dtype=dtype,
+            text2_params=text2_p, text2_cfg=text2_cfg, eos_id=eos_id)
 
     def step(trainable, opt_state, base, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(trainable, base, batch, rng)

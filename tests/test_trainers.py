@@ -441,3 +441,118 @@ def test_pti_locon_conflicts_with_extended(pipe):
                     placeholder_tokens="<s1>")
     with pytest.raises(ValueError, match="conflicts"):
         train_pti(dataclasses.replace(pipe), cfg)
+
+
+# -- SDXL DreamBooth training -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def xl_pipe():
+    from lora_tpu.models.config import (
+        TINY_VAE as _VAE,
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    return StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=_VAE)
+
+
+def test_dreambooth_xl_end_to_end(xl_pipe, image_dir, tmp_path):
+    """SDXL DreamBooth-LoRA: dual text encoders train, the artifact goes
+    out in the kohya-XL schema (lora_unet_ LDM names + lora_te1_/lora_te2_)
+    and patches back onto the XL pipeline."""
+    import dataclasses
+
+    out = str(tmp_path / "dbxl_out")
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir,
+        output_dir=out,
+        instance_prompt="a photo of sks dog",
+        resolution=64,
+        lora_rank=2,
+        max_train_steps=2,
+        save_steps=0,
+        train_text_encoder=True,
+        output_format="safe",
+        seed=0,
+    )
+    res = train_dreambooth(dataclasses.replace(xl_pipe), cfg)
+    assert res["steps"] == 2
+    assert np.isfinite(res["final_loss"])
+    path = os.path.join(out, "lora_weight.safetensors")
+    assert os.path.exists(path)
+    # all three models present in the kohya-XL schema
+    from lora_tpu.formats.kohya import is_kohya_xl
+    from lora_tpu.formats.reader import SafetensorsFile
+
+    with SafetensorsFile(path) as f:
+        keys = list(f.keys())
+    assert is_kohya_xl(keys)
+    assert any(k.startswith("lora_unet_input_blocks_") for k in keys)
+    assert any(k.startswith("lora_te1_") for k in keys)
+    assert any(k.startswith("lora_te2_") for k in keys)
+
+    # patches back onto the XL pipeline and changes the render
+    p = dataclasses.replace(xl_pipe)
+    base = p("a sks dog", num_inference_steps=2, height=32, width=32,
+             rng=jax.random.PRNGKey(3))
+    p.patch_pipe(path)
+    assert p.lora_unet is not None
+    assert p.lora_text is not None and p.lora_text2 is not None
+    patched = p("a sks dog", num_inference_steps=2, height=32, width=32,
+                rng=jax.random.PRNGKey(3))
+    assert np.isfinite(patched).all()
+    assert np.abs(patched - base).max() > 0
+
+
+def test_dreambooth_xl_cached_text_matches_uncached_loss(xl_pipe, image_dir,
+                                                         tmp_path):
+    """The XL frozen-text fast path (cached dual-encode + pooled) must give
+    the same first-step loss as encoding inside the jitted step."""
+    import dataclasses
+
+    losses = []
+    for cache, tag in ((True, "c"), (False, "u")):
+        cfg = DreamBoothConfig(
+            instance_data_dir=image_dir,
+            output_dir=str(tmp_path / f"dbxl_{tag}"),
+            instance_prompt="a photo of sks dog",
+            resolution=64,
+            lora_rank=2,
+            max_train_steps=1,
+            save_steps=0,
+            cache_text_embeddings=cache,
+            output_format="safe",
+            seed=0,
+        )
+        res = train_dreambooth(dataclasses.replace(xl_pipe), cfg)
+        losses.append(res["final_loss"])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4)
+
+
+def test_dreambooth_xl_rejects_pt_output(xl_pipe, image_dir, tmp_path):
+    cfg = DreamBoothConfig(
+        instance_data_dir=image_dir, output_dir=str(tmp_path / "o"),
+        instance_prompt="x", resolution=64, max_train_steps=1,
+        output_format="both")
+    with pytest.raises(ValueError, match="kohya-XL"):
+        train_dreambooth(xl_pipe, cfg)
+
+
+def test_ids2_from_ids_zero_pads_after_eos():
+    from lora_tpu.training.loss import ids2_from_ids
+
+    eos = 9
+    ids = np.asarray([[1, 4, 2, eos, eos, eos],
+                      [1, eos, eos, eos, eos, eos]], np.int64)
+    out = np.asarray(ids2_from_ids(ids, eos))
+    np.testing.assert_array_equal(
+        out, [[1, 4, 2, eos, 0, 0], [1, eos, 0, 0, 0, 0]])
+    # jax path agrees
+    import jax.numpy as jnp
+
+    out_j = np.asarray(ids2_from_ids(jnp.asarray(ids), eos))
+    np.testing.assert_array_equal(out, out_j)
