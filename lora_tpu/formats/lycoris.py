@@ -1,4 +1,4 @@
-"""LyCORIS (LoHa / LoKr / IA3 / DoRA / diag-OFT) interop — the
+"""LyCORIS (LoHa / LoKr / IA3 / DoRA / diag-OFT / BOFT) interop — the
 kohya-family algorithms beyond plain LoRA/LoCon.
 
 These share the kohya key schema (`lora_unet_<path>.<factor>` /
@@ -26,6 +26,11 @@ delta differently:
   algebra). Base-weight-dependent, so loading requires params. Our tree
   scale lerps `W + s*(W' - W)`, which is EXACTLY LyCORIS's multiplier
   semantics (it lerps merged vs original weights linearly).
+- **BOFT** (butterfly OFT): m stages of butterfly-permuted block
+  rotations — `oft_blocks (m, num_blocks, b, b)`; each stage interleaves
+  channel wings (c, 2, 2^i*b/2) -> (c, 2^i*b/2, 2), Cayley-rotates blocks
+  of b, and un-interleaves (the LyCORIS modules/boft.py make_weight
+  construction). Base-weight-dependent.
 - **diag-OFT**: a block-diagonal orthogonal transform of the output
   channels. `oft_blocks` (k, b, b) parametrizes per-block skew
   Q = q - q^T, Cayley R = (I+Q)(I-Q)^-1, and W'[k,m,:] =
@@ -40,8 +45,8 @@ as exact `{"delta"}` entries in the LoRA pytree
 (core/lora.lora_from_deltas) rather than (up, down) pairs; forward
 application, scale tuning, collapse and removal all work identically. A
 single file may mix algorithms per module (plain LoRA pairs included —
-those stay factored). Unknown factor keys (LoHa++/GLoRA/BOFT butterfly
-factors, norm-module `w_norm`/`b_norm` tensors, ...) raise loudly so a
+those stay factored). Unknown factor keys (LoHa++/GLoRA factors,
+norm-module `w_norm`/`b_norm` tensors, ...) raise loudly so a
 partial load can never pass silently.
 
 The reference repo predates LyCORIS entirely (its formats are the
@@ -102,7 +107,7 @@ def _detect_algo(base: str, leaves: set) -> str:
                 return algo
     raise ValueError(
         f"kohya module {base!r} has unsupported factor tensors "
-        f"{sorted(leaves)} (LoHa++/GLoRA/BOFT/norm?); refusing a partial "
+        f"{sorted(leaves)} (LoHa++/GLoRA/norm?); refusing a partial "
         f"load")
 
 
@@ -256,42 +261,100 @@ def _compose_dora(base: str, site: Site, g: Dict[str, np.ndarray],
     return merged - w
 
 
+def _apply_rescale(base: str, site: Site, g: Dict[str, np.ndarray],
+                   merged: np.ndarray) -> np.ndarray:
+    """The LyCORIS 'rescaled' OFT variant's per-output-channel gain."""
+    if "rescale" not in g:
+        return merged
+    s = np.asarray(g["rescale"], np.float32).reshape(-1)
+    if s.shape[0] != site.out_dim:
+        raise ValueError(
+            f"OFT module {base!r}: rescale has {s.shape[0]} channels, "
+            f"the output axis has {site.out_dim}")
+    return merged * s.reshape((site.out_dim,) + (1,) * (merged.ndim - 1))
+
+
+def _clamped_cayley(q: np.ndarray, alpha, out_dim: int) -> np.ndarray:
+    """Skew-symmetrize the trailing (b, b) blocks, apply the global
+    Frobenius constraint ||Q||_F <= alpha * out_dim (when alpha > 0), and
+    Cayley-map each block to a rotation R = (I+Q)(I-Q)^-1."""
+    skew = q - np.swapaxes(q, -1, -2)
+    if alpha is not None and float(np.asarray(alpha)) > 0:
+        # sd-scripts/LyCORIS: constraint = alpha * out_dim, clamp ||Q||_F
+        # over ALL blocks (eps 1e-8 matching their clamp arithmetic)
+        constraint = float(np.asarray(alpha)) * out_dim
+        n = float(np.linalg.norm(skew))
+        skew = skew * ((min(n, constraint) + 1e-8) / (n + 1e-8))
+    eye = np.eye(q.shape[-1], dtype=np.float32)
+    return np.matmul(eye + skew, np.linalg.inv(eye - skew))
+
+
+def _compose_boft(base: str, site: Site, g: Dict[str, np.ndarray],
+                  base_weight: np.ndarray) -> np.ndarray:
+    """BOFT merged weight (LyCORIS modules/boft.py make_weight): m stages
+    of butterfly-permuted block rotations of the output channels. Stage i
+    permutes channels (c, g=2, k=2^i*b/2) -> (c, k, g), rotates blocks of
+    b via the Cayley map (R @ w per block — BOFT's convention, transposed
+    vs diag-OFT's), and un-permutes. Returns W' - W.
+
+    Note on fractional scales: LyCORIS lerps stage 0's ROTATION toward the
+    identity at multiplier<1; our tree lerps the merged DELTA. The two
+    agree exactly at scale 0 and 1 and differ only in between (the same
+    class of approximation the webui applies to OFT multipliers)."""
+    q = np.asarray(g["oft_blocks"], np.float32)  # (m, n_blocks, b, b)
+    m, n, b, b2 = q.shape
+    out_dim = site.out_dim
+    if b != b2 or b % 2 or n * b != out_dim:
+        raise ValueError(
+            f"BOFT module {base!r}: oft_blocks (m, n, b, b) = {q.shape} "
+            f"must have square even-sized blocks with n*b == out_dim "
+            f"({out_dim})")
+    rot = _clamped_cayley(q, g.get("alpha"), out_dim)  # (m, n, b, b)
+    w = np.asarray(base_weight, np.float32).reshape(_site_shape(site))
+    inp = w.reshape(out_dim, -1)
+    r_b = b // 2
+    for i in range(m):
+        k = (2 ** i) * r_b
+        if out_dim % (2 * k):
+            raise ValueError(
+                f"BOFT module {base!r}: stage {i} butterfly needs "
+                f"out_dim divisible by {2 * k}, got {out_dim}")
+        c = out_dim // (2 * k)
+        # (c g k) -> (c k g): interleave the two butterfly wings
+        inp = inp.reshape(c, 2, k, -1).transpose(0, 2, 1, 3)
+        # rotate blocks of b: einsum('bij,bj...->bi...', R_i, w)
+        inp = inp.reshape(n, b, -1)
+        inp = np.einsum("bij,bjr->bir", rot[i], inp)
+        # (c k g) -> (c g k): undo the interleave
+        inp = inp.reshape(c, k, 2, -1).transpose(0, 2, 1, 3)
+        inp = inp.reshape(out_dim, -1)
+    merged = _apply_rescale(base, site, g, inp.reshape(w.shape))
+    return merged - w
+
+
 def _compose_oft(base: str, site: Site, g: Dict[str, np.ndarray],
                  base_weight: np.ndarray) -> np.ndarray:
     """diag-OFT merged weight: per-block Cayley rotation of the output
     channels (kohya sd-scripts networks/oft.py construction) with the
-    optional LyCORIS rescale gain. Returns W' - W."""
+    optional LyCORIS rescale gain. 4-D oft_blocks (butterfly stages)
+    dispatch to _compose_boft. Returns W' - W."""
     q = np.asarray(g["oft_blocks"], np.float32)
+    if q.ndim == 4:
+        return _compose_boft(base, site, g, base_weight)
     if q.ndim != 3 or q.shape[1] != q.shape[2]:
         raise ValueError(
-            f"OFT module {base!r}: oft_blocks must be (num_blocks, b, b), "
-            f"got {q.shape} (4-D factors are BOFT butterfly blocks — "
-            f"unsupported)")
+            f"OFT module {base!r}: oft_blocks must be (num_blocks, b, b) "
+            f"or BOFT's (m, num_blocks, b, b), got {q.shape}")
     k, b, _ = q.shape
     if k * b != site.out_dim:
         raise ValueError(
             f"OFT module {base!r}: {k} blocks of size {b} cover "
             f"{k * b} channels, the output axis has {site.out_dim}")
-    skew = q - np.transpose(q, (0, 2, 1))
-    alpha = g.get("alpha")
-    if alpha is not None and float(np.asarray(alpha)) > 0:
-        # sd-scripts: constraint = alpha * out_dim, clamp ||Q||_F over all
-        # blocks (eps 1e-8 matching its clamp arithmetic)
-        constraint = float(np.asarray(alpha)) * site.out_dim
-        n = float(np.linalg.norm(skew))
-        skew = skew * ((min(n, constraint) + 1e-8) / (n + 1e-8))
-    eye = np.eye(b, dtype=np.float32)
-    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    rot = _clamped_cayley(q, g.get("alpha"), site.out_dim)
     w = np.asarray(base_weight, np.float32).reshape(_site_shape(site))
     merged = np.einsum("knm,knr->kmr", rot,
                        w.reshape(k, b, -1)).reshape(w.shape)
-    if "rescale" in g:
-        s = np.asarray(g["rescale"], np.float32).reshape(-1)
-        if s.shape[0] != site.out_dim:
-            raise ValueError(
-                f"OFT module {base!r}: rescale has {s.shape[0]} channels, "
-                f"the output axis has {site.out_dim}")
-        merged = merged * s.reshape((site.out_dim,) + (1,) * (w.ndim - 1))
+    merged = _apply_rescale(base, site, g, merged)
     return merged - w
 
 

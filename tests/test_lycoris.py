@@ -460,15 +460,92 @@ def test_oft_conv_rotates_output_channels(tmp_path, unet_params):
         atol=1e-5)
 
 
-def test_boft_butterfly_blocks_rejected(tmp_path, unet_params):
+def _butterfly_merge(w2d, rot, b):
+    """Independent reimplementation of the BOFT butterfly apply (LyCORIS
+    modules/boft.py make_weight) for the oracle side of the tests."""
+    out = w2d.shape[0]
+    inp = w2d
+    r_b = b // 2
+    for i in range(rot.shape[0]):
+        k = (2 ** i) * r_b
+        c = out // (2 * k)
+        inp = inp.reshape(c, 2, k, -1).transpose(0, 2, 1, 3).reshape(out, -1)
+        inp = inp.reshape(out // b, b, -1)
+        inp = np.einsum("bij,bjr->bir", rot[i], inp).reshape(out, -1)
+        inp = inp.reshape(c, k, 2, -1).transpose(0, 2, 1, 3).reshape(out, -1)
+    return inp
+
+
+def test_boft_butterfly_stages(tmp_path, unet_params):
+    """BOFT (4-D oft_blocks): m butterfly stages of block rotations. The
+    composed transform must be exactly orthogonal on the output channels
+    (Gram matrix of the weight preserved), zero blocks must give a zero
+    delta, and the delta must match an independent butterfly oracle."""
+    rng = np.random.RandomState(31)
     key = kohya_key("unet", LIN.name)
-    q4 = np.zeros((2, 2, LIN.out_dim // 4, LIN.out_dim // 4), np.float32)
-    with pytest.raises(ValueError, match="BOFT butterfly"):
-        load_lycoris(_save(tmp_path, {key + ".oft_blocks": q4}),
+    out = LIN.out_dim
+    b = out // 4          # 4 blocks per stage
+    m = 2                 # 2 butterfly stages
+    q = (0.1 * rng.randn(m, out // b, b, b)).astype(np.float32)
+    lu, _ = load_lycoris(_save(tmp_path, {key + ".oft_blocks": q}),
+                         unet_sites=USITES, unet_params=unet_params)
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 1, 3, 2)
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    want = _butterfly_merge(w, rot, b) - w
+    got = np.asarray(lu["sites"][LIN.name]["delta"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # orthogonality of the whole composed transform: W'^T W' == W^T W
+    wp = w + got
+    np.testing.assert_allclose(wp.T @ wp, w.T @ w, rtol=1e-3, atol=1e-3)
+
+    # zero blocks -> exactly zero delta
+    luz, _ = load_lycoris(
+        _save(tmp_path, {key + ".oft_blocks": np.zeros_like(q)},
+              "bz.safetensors"),
+        unet_sites=USITES, unet_params=unet_params)
+    assert float(np.abs(np.asarray(
+        luz["sites"][LIN.name]["delta"])).max()) == 0.0
+
+    # rescaled variant applies after the last stage
+    s = (rng.rand(out, 1) + 0.5).astype(np.float32)
+    lur, _ = load_lycoris(
+        _save(tmp_path, {key + ".oft_blocks": q, key + ".rescale": s},
+              "br.safetensors"),
+        unet_sites=USITES, unet_params=unet_params)
+    want_r = s * (w + want) - w
+    np.testing.assert_allclose(np.asarray(lur["sites"][LIN.name]["delta"]),
+                               want_r, rtol=1e-4, atol=1e-5)
+
+
+def test_boft_conv_and_bad_shapes(tmp_path, unet_params):
+    rng = np.random.RandomState(32)
+    key = kohya_key("unet", CONV.name)
+    out = CONV.out_dim
+    b = out // 2
+    q = (0.1 * rng.randn(1, 2, b, b)).astype(np.float32)
+    lu, _ = load_lycoris(_save(tmp_path, {key + ".oft_blocks": q}),
+                         unet_sites=LSITES, unet_params=unet_params)
+    w = np.asarray(unet_params[CONV.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 1, 3, 2)
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    want = (_butterfly_merge(w.reshape(out, -1), rot, b)
+            .reshape(w.shape) - w)
+    np.testing.assert_allclose(np.asarray(lu["sites"][CONV.name]["delta"]),
+                               want, rtol=1e-4, atol=1e-5)
+
+    lkey = kohya_key("unet", LIN.name)
+    # odd block size can't butterfly
+    qodd = np.zeros((1, LIN.out_dim // 5, 5, 5), np.float32)
+    with pytest.raises(ValueError, match="even-sized"):
+        load_lycoris(_save(tmp_path, {lkey + ".oft_blocks": qodd},
+                           "bo.safetensors"),
                      unet_sites=USITES, unet_params=unet_params)
-    # block grid that doesn't tile the output axis
+    # diag-OFT block grid that doesn't tile the output axis
     qbad = np.zeros((3, 5, 5), np.float32)
     with pytest.raises(ValueError, match="output axis has"):
-        load_lycoris(_save(tmp_path, {key + ".oft_blocks": qbad},
+        load_lycoris(_save(tmp_path, {lkey + ".oft_blocks": qbad},
                            "bad.safetensors"),
                      unet_sites=USITES, unet_params=unet_params)
