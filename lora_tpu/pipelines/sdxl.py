@@ -222,21 +222,42 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         original_size: Optional[Tuple[int, int]] = None,
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
+        prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
+        negative_prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
         output_type: str = "np",
     ):
         use_cfg = guidance_scale > 1.0
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        text_emb, pooled = self.encode_prompt_xl(prompts)
-        if use_cfg:
-            uncond, uncond_pooled = self.encode_prompt_xl(
-                list(negative_prompt))
-            add_text = jnp.concatenate([uncond_pooled, pooled], 0)
+        if prompt_embeds is not None:
+            # precomputed dual-encoder conditioning (the serving endpoint's
+            # embedding cache): (context (B,77,2048), te2 pooled (B,proj));
+            # prompt strings are ignored
+            text_emb, pooled = (jnp.asarray(e, self.dtype)
+                                for e in prompt_embeds)
+            B = text_emb.shape[0]
+            if use_cfg:
+                if negative_prompt_embeds is None:
+                    raise ValueError(
+                        "negative_prompt_embeds required with "
+                        "prompt_embeds when guidance_scale > 1")
+                uncond, uncond_pooled = (jnp.asarray(e, self.dtype)
+                                         for e in negative_prompt_embeds)
+                add_text = jnp.concatenate([uncond_pooled, pooled], 0)
+            else:
+                uncond = text_emb
+                add_text = pooled
         else:
-            uncond = text_emb
-            add_text = pooled
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            B = len(prompts)
+            if isinstance(negative_prompt, str):
+                negative_prompt = [negative_prompt] * B
+            text_emb, pooled = self.encode_prompt_xl(prompts)
+            if use_cfg:
+                uncond, uncond_pooled = self.encode_prompt_xl(
+                    list(negative_prompt))
+                add_text = jnp.concatenate([uncond_pooled, pooled], 0)
+            else:
+                uncond = text_emb
+                add_text = pooled
         time_ids = self._time_ids(
             add_text.shape[0], height, width, original_size,
             crops_coords_top_left, target_size)

@@ -89,6 +89,9 @@ class PipelineServer:
                  embed_cache_size: int = 256, max_queue: int = 32,
                  batch_buckets: Optional[tuple] = None):
         self.pipe = pipe
+        # SDXL pipes condition on (context, te2 pooled) pairs; the embed
+        # cache stores the pair per prompt and the pipe call receives both
+        self._is_xl = hasattr(pipe, "encode_prompt_xl")
         self.lock = threading.Lock()
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
@@ -306,9 +309,16 @@ class PipelineServer:
         missing = [t for t in dict.fromkeys(texts)
                    if (t, alpha) not in self._embeds]
         if missing:
-            fresh = np.asarray(self.pipe.encode_prompt(missing), np.float32)
-            for t, e in zip(missing, fresh):
-                self._embeds[(t, alpha)] = e
+            if self._is_xl:
+                ctx, pooled = self.pipe.encode_prompt_xl(missing)
+                for t, c, pl in zip(missing, np.asarray(ctx, np.float32),
+                                    np.asarray(pooled, np.float32)):
+                    self._embeds[(t, alpha)] = (c, pl)
+            else:
+                fresh = np.asarray(self.pipe.encode_prompt(missing),
+                                   np.float32)
+                for t, e in zip(missing, fresh):
+                    self._embeds[(t, alpha)] = e
         self.embed_cache_misses += len(missing)
         self.embed_cache_hits += len(texts) - len(missing)
         rows = []
@@ -317,6 +327,9 @@ class PipelineServer:
             rows.append(self._embeds[(t, alpha)])
         while len(self._embeds) > self._embed_cache_size:
             self._embeds.popitem(last=False)
+        if self._is_xl:
+            return (np.stack([r[0] for r in rows]),
+                    np.stack([r[1] for r in rows]))
         return np.stack(rows)
 
     def _run_group(self, group: list):
@@ -373,8 +386,11 @@ class PipelineServer:
             # (e.g. patch_pipe on a live server swaps the adapter at the
             # same alpha — the old embeddings are stale)
             gen = getattr(self.pipe, "adapter_generation", 0)
+            has_text_lora = (self.pipe.lora_text is not None
+                             or getattr(self.pipe, "lora_text2", None)
+                             is not None)
             key_alpha = ((gen, self._current_alpha)
-                         if self.pipe.lora_text is not None else (gen, None))
+                         if has_text_lora else (gen, None))
             emb = self._cached_embeds(prompts, key_alpha)
             neg = (self._cached_embeds([negative] * len(prompts), key_alpha)
                    if guidance > 1.0 else None)
@@ -479,12 +495,18 @@ def main():
                     help="sampler steps used for the warmup config")
     args = ap.parse_args()
 
+    import os as _os
+
     import jax.numpy as jnp
 
-    from .pipelines.sd import StableDiffusionPipeline
+    # SDXL checkpoint dirs carry a second text encoder (same autodetect
+    # as cli/lora_db): serve with the dual-encoder pipeline
+    if _os.path.isdir(_os.path.join(args.model, "text_encoder_2")):
+        from .pipelines.sdxl import StableDiffusionXLPipeline as _Pipe
+    else:
+        from .pipelines.sd import StableDiffusionPipeline as _Pipe
 
-    pipe = StableDiffusionPipeline.from_pretrained(args.model,
-                                                   dtype=jnp.bfloat16)
+    pipe = _Pipe.from_pretrained(args.model, dtype=jnp.bfloat16)
     if args.lora:
         pipe.patch_pipe(args.lora)
     if args.quantize:

