@@ -385,3 +385,82 @@ def test_svd_distill_from_lora_rejects_reference_schema(pipe, tmp_path):
         svd_distill_cli(target_model=ref_file, base_model=base_dir,
                         save_path=str(tmp_path / "o.safetensors"),
                         from_lora=True)
+
+
+def test_svd_distill_from_lora_xl(tmp_path):
+    """SDXL --from_lora: a LyCORIS-XL LoHa file (full-rank delta on the
+    te1 encoder + plain pair on the unet) converts to a plain kohya-XL
+    LoRA against an XL base dir; at covering rank the patched forwards
+    match."""
+    import dataclasses
+
+    from lora_tpu.cli.lora_distill import svd_distill_cli
+    from lora_tpu.core.sites import text_encoder_lora_sites
+    from lora_tpu.formats.kohya import _xl_index
+    from lora_tpu.formats.reader import save_file
+    from lora_tpu.models.config import (
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.models.hf_import import save_pipeline_params
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    base_dir = str(tmp_path / "xlbase")
+    save_pipeline_params(pipe, base_dir)
+
+    rng = np.random.RandomState(41)
+    usites = pipe.unet_sites()
+    t1sites = text_encoder_lora_sites(TINY_XL_TEXT)
+    ukey = next(iter(_xl_index("unet", usites[:1], TINY_XL_UNET)))
+    tkey = next(iter(_xl_index("text_encoder", t1sites[:1], TINY_XL_UNET)))
+    ulin, tlin = usites[0], t1sites[0]
+    r = 2
+    tensors = {
+        ukey + ".lora_up.weight":
+            (0.1 * rng.randn(ulin.out_dim, r)).astype(np.float32),
+        ukey + ".lora_down.weight":
+            rng.randn(r, ulin.in_dim).astype(np.float32),
+        ukey + ".alpha": np.float32(r),
+        tkey + ".hada_w1_a":
+            (0.2 * rng.randn(tlin.out_dim, r)).astype(np.float32),
+        tkey + ".hada_w1_b": rng.randn(r, tlin.in_dim).astype(np.float32),
+        tkey + ".hada_w2_a":
+            (0.2 * rng.randn(tlin.out_dim, r)).astype(np.float32),
+        tkey + ".hada_w2_b": rng.randn(r, tlin.in_dim).astype(np.float32),
+    }
+    src = str(tmp_path / "xl_lyco.safetensors")
+    save_file(tensors, src)
+
+    out = str(tmp_path / "xl_plain.safetensors")
+    svd_distill_cli(target_model=src, base_model=base_dir,
+                    rank=min(tlin.out_dim, tlin.in_dim), clamp_quantile=1.0,
+                    save_path=out, from_lora=True)
+
+    orig = dataclasses.replace(pipe)
+    orig.patch_pipe(src)
+    conv = dataclasses.replace(pipe)
+    conv.patch_pipe(out)
+    assert "delta" in orig.lora_text["sites"][tlin.name]
+    assert "up" in conv.lora_text["sites"][tlin.name]
+    a = orig.encode_prompt_xl(["a cat"])
+    b = conv.encode_prompt_xl(["a cat"])
+    base = pipe.encode_prompt_xl(["a cat"])
+    assert float(jnp.abs(a[0] - base[0]).max()) > 1e-4
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a[0]),
+                               rtol=1e-3, atol=1e-4)
+
+    # schema mismatch: SD1.x adapter against the XL base raises
+    sd_file = str(tmp_path / "sd.safetensors")
+    save_file({"lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+               "_attn1_to_q.lora_up.weight": np.zeros((4, 2), np.float32),
+               "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+               "_attn1_to_q.lora_down.weight":
+               np.zeros((2, 4), np.float32)}, sd_file)
+    with pytest.raises(ValueError, match="does not match the base model"):
+        svd_distill_cli(target_model=sd_file, base_model=base_dir,
+                        save_path=str(tmp_path / "x.safetensors"),
+                        from_lora=True)
