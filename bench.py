@@ -219,6 +219,59 @@ def mem_table():
         rows["sample_50step_cfg_512"] = _memory_analysis(compiled)
     except Exception as e:  # sampling-loop lowering is best-effort here
         rows["sample_50step_cfg_512"] = {"error": str(e)[-200:]}
+
+    # SDXL train step at 1024px (128x128 latents), rank-8 LoRA, cached
+    # latents + cached dual-encoder conditioning — with and without remat.
+    # Compile-time only; shows whether full-size XL training fits a 16 GB
+    # v5e chip before anyone burns hardware time finding out.
+    try:
+        from lora_tpu.core.lora import init_lora
+        from lora_tpu.core.sites import unet_lora_sites
+        from lora_tpu.models.clip import init_clip_text
+        from lora_tpu.models.config import (
+            SDXL_TEXT,
+            SDXL_TEXT2,
+            SDXL_UNET,
+            SDXL_VAE,
+        )
+        from lora_tpu.models.unet import init_unet
+        from lora_tpu.training.loss import LossConfig
+        from lora_tpu.training.optim import make_optimizer
+        from lora_tpu.training.train_step import make_train_step
+
+        dtype = jnp.bfloat16
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(1), 4)
+        unet_p = init_unet(SDXL_UNET, k1, dtype=dtype)
+        text_p = init_clip_text(SDXL_TEXT, k2, dtype=dtype)
+        text2_p = init_clip_text(SDXL_TEXT2, k3, dtype=dtype)
+        trainable = {"lora_unet": init_lora(unet_lora_sites(SDXL_UNET),
+                                            r=8, rng=k4)}
+        opt = make_optimizer(trainable, {"lora_unet": 1e-4})
+        sched = models[3]
+        batch = {
+            "latents": jnp.zeros((1, 128, 128, 4), dtype),
+            "encoder_hidden_states": jnp.zeros(
+                (1, 77, SDXL_UNET.cross_attention_dim), dtype),
+            "add_text_embeds": jnp.zeros(
+                (1, SDXL_TEXT2.projection_dim), dtype),
+            "add_time_ids": jnp.zeros((1, 6), jnp.float32),
+        }
+        for remat in (False, True):
+            step = make_train_step(
+                unet_cfg=SDXL_UNET, text_cfg=SDXL_TEXT, vae_cfg=SDXL_VAE,
+                sched=sched,
+                loss_cfg=LossConfig(cached_latents=True,
+                                    gradient_checkpointing=remat),
+                optimizer=opt, dtype=dtype, text2_cfg=SDXL_TEXT2,
+                eos_id=49407)
+            compiled = step.lower(
+                trainable, opt.init(trainable),
+                (unet_p, text_p, text2_p, {}), batch,
+                jax.random.PRNGKey(7)).compile()
+            tag = "xl_train_cached_bs1_1024" + ("_remat" if remat else "")
+            rows[tag] = _memory_analysis(compiled)
+    except Exception as e:
+        rows["xl_train_cached_bs1_1024"] = {"error": str(e)[-200:]}
     print(json.dumps({"metric": "compiled_hbm_estimate",
                       "unit": "GB", "rows": rows}))
 
