@@ -107,6 +107,25 @@ def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
     return arr[top : top + size, left : left + size]
 
 
+def crop_geometry(orig_w: int, orig_h: int, size: int,
+                  resize: bool = True) -> np.ndarray:
+    """Per-image SDXL micro-conditioning geometry for the deterministic
+    resize-short + center-crop transform above: [orig_h, orig_w, crop_top,
+    crop_left] with crop offsets in POST-resize pixel space (the SDXL
+    convention — original size + crop top-left feed the UNet's text_time
+    add_embedding alongside the target size)."""
+    if resize:
+        if orig_w <= orig_h:
+            nw, nh = size, max(int(round(orig_h * size / orig_w)), size)
+        else:
+            nh, nw = size, max(int(round(orig_w * size / orig_h)), size)
+    else:
+        nh, nw = orig_h, orig_w
+    top = max((nh - size) // 2, 0)
+    left = max((nw - size) // 2, 0)
+    return np.asarray([orig_h, orig_w, top, left], np.float32)
+
+
 def _color_jitter(arr: np.ndarray, rng: random.Random,
                   brightness=0.1, contrast=0.1) -> np.ndarray:
     b = 1.0 + rng.uniform(-brightness, brightness)
@@ -332,6 +351,7 @@ class DreamBoothDataset:
         h_flip: bool = False,
         resize: bool = True,
         seed: int = 0,
+        return_geometry: bool = False,
     ):
         self.size = size
         self.tokenizer = tokenizer
@@ -339,6 +359,10 @@ class DreamBoothDataset:
         self.resize = resize
         self.color_jitter = color_jitter
         self.h_flip = h_flip
+        # emit per-image [orig_h, orig_w, crop_top, crop_left] rows for
+        # SDXL's text_time micro-conditioning (upstream XL trainers feed
+        # true per-sample geometry, not the training resolution)
+        self.return_geometry = return_geometry
 
         root = Path(instance_data_root)
         if not root.exists():
@@ -372,19 +396,28 @@ class DreamBoothDataset:
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         ex: Dict[str, np.ndarray] = {}
-        img = load_image_norm(
-            self.instance_images_path[index % self.num_instance_images],
-            self.size, self.resize, self.color_jitter, self.rng)
+        ipath = self.instance_images_path[index % self.num_instance_images]
+        img = load_image_norm(ipath, self.size, self.resize,
+                              self.color_jitter, self.rng)
         if self.h_flip and self.rng.random() > 0.5:
             img = img[:, ::-1]
         ex["instance_images"] = img
+        if self.return_geometry:
+            with Image.open(ipath) as im:  # header-only read
+                ow, oh = im.size
+            ex["instance_geometry"] = crop_geometry(
+                ow, oh, self.size, self.resize)
         ex["instance_prompt_ids"] = self.tokenizer(
             [self.instance_prompt])["input_ids"][0]
         if self.num_class_images:
-            cimg = load_image_norm(
-                self.class_images_path[index % self.num_class_images],
-                self.size, self.resize)
+            cpath = self.class_images_path[index % self.num_class_images]
+            cimg = load_image_norm(cpath, self.size, self.resize)
             ex["class_images"] = cimg
+            if self.return_geometry:
+                with Image.open(cpath) as im:
+                    ow, oh = im.size
+                ex["class_geometry"] = crop_geometry(
+                    ow, oh, self.size, self.resize)
             ex["class_prompt_ids"] = self.tokenizer(
                 [self.class_prompt])["input_ids"][0]
         return ex
@@ -531,6 +564,12 @@ def data_loader(dataset, batch_size: int, shuffle: bool = True,
                 [np.ones(n, np.float32), np.zeros(n, np.float32)])
         batch["pixel_values"] = pixel.astype(np.float32)
         batch["input_ids"] = np.asarray(ids, np.int64)
+        if "instance_geometry" in chunk[0]:
+            geom = np.stack([c["instance_geometry"] for c in chunk])
+            if prior_preservation:
+                geom = np.concatenate(
+                    [geom, np.stack([c["class_geometry"] for c in chunk])])
+            batch["time_ids_geom"] = geom.astype(np.float32)
         if "mask" in chunk[0]:
             batch["mask"] = np.stack(
                 [c["mask"] for c in chunk]).astype(np.float32)

@@ -113,6 +113,18 @@ def generate_class_images(pipe: StableDiffusionPipeline,
                 os.path.join(cfg.class_data_dir, f"gen_{cur + s + j}.jpg"))
 
 
+def _local_rows(a) -> np.ndarray:
+    """Process-local rows (in global row order) of a possibly
+    non-addressable global batch array. Under fsdp/tp the batch is
+    REPLICATED along those mesh axes, so each row block appears once per
+    replica in addressable_shards — dedup by row range."""
+    if isinstance(a, jax.Array) and not a.is_fully_addressable:
+        uniq = {(s.index[0].start or 0): s for s in a.addressable_shards}
+        return np.concatenate(
+            [np.asarray(uniq[k].data) for k in sorted(uniq)])
+    return np.asarray(a)
+
+
 def train_dreambooth(pipe: StableDiffusionPipeline,
                      cfg: DreamBoothConfig) -> dict:
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -213,6 +225,10 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
         color_jitter=cfg.color_jitter,
         h_flip=cfg.h_flip,
         seed=cfg.seed,
+        # SDXL: per-image [orig_h, orig_w, crop_top, crop_left] rows for
+        # text_time micro-conditioning (cached latents fix augmentation at
+        # cache time and fall back to the constant training-res row)
+        return_geometry=is_xl and not cfg.cached_latents,
     )
     from ..data.dataset import prefetch
 
@@ -398,20 +414,11 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                 None, dtype)
 
         def embed_ids(ids_batch):
-            if (isinstance(ids_batch, jax.Array)
-                    and not ids_batch.is_fully_addressable):
-                # multi-process: the prefetched ids span non-addressable
-                # devices, so key/encode on THIS process's local rows (in
-                # global row order) — the resulting local embedding rows go
-                # back through shard_batch's process-local assembly. Dedup
-                # by row range: under fsdp/tp the batch is REPLICATED along
-                # those mesh axes, so each row block appears once per
-                # replica in addressable_shards.
-                uniq = {(s.index[0].start or 0): s
-                        for s in ids_batch.addressable_shards}
-                ids_batch = np.concatenate(
-                    [np.asarray(uniq[k].data) for k in sorted(uniq)])
-            ids_np = np.asarray(ids_batch)
+            # multi-process: the prefetched ids span non-addressable
+            # devices, so key/encode on THIS process's local rows — the
+            # resulting local embedding rows go back through shard_batch's
+            # process-local assembly
+            ids_np = _local_rows(ids_batch)
             key = ids_np.tobytes()
             if key not in text_emb_cache:
                 text_emb_cache[key] = _encode_rows(ids_np)
@@ -462,20 +469,29 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
                 else:
                     batch["encoder_hidden_states"] = emb
             if is_xl:
-                # text_time micro-conditioning at the training resolution:
-                # original size / crop top-left / target size, one row per
-                # PROCESS-LOCAL batch row (shard_batch assembles host
-                # arrays from process-local blocks)
-                ref = (batch["latents"] if cfg.cached_latents
-                       else batch["pixel_values"])
-                nrows = ref.shape[0]
-                if (isinstance(ref, jax.Array)
-                        and not ref.is_fully_addressable):
-                    nrows //= jax.process_count()
-                row = np.asarray([cfg.resolution, cfg.resolution, 0, 0,
-                                  cfg.resolution, cfg.resolution],
-                                 np.float32)
-                batch["add_time_ids"] = np.tile(row, (nrows, 1))
+                # text_time micro-conditioning: per-image original size /
+                # crop top-left from the dataset transform + the target
+                # (training) size, one row per PROCESS-LOCAL batch row
+                # (shard_batch assembles host arrays from process-local
+                # blocks). Cached latents fixed augmentation at cache time
+                # and carry no geometry — constant training-res fallback.
+                geom = batch.pop("time_ids_geom", None)
+                if geom is not None:
+                    g = _local_rows(geom).astype(np.float32)
+                    tgt = np.full((g.shape[0], 2), cfg.resolution,
+                                  np.float32)
+                    batch["add_time_ids"] = np.concatenate([g, tgt], axis=1)
+                else:
+                    ref = (batch["latents"] if cfg.cached_latents
+                           else batch["pixel_values"])
+                    nrows = ref.shape[0]
+                    if (isinstance(ref, jax.Array)
+                            and not ref.is_fully_addressable):
+                        nrows //= jax.process_count()
+                    row = np.asarray([cfg.resolution, cfg.resolution, 0, 0,
+                                      cfg.resolution, cfg.resolution],
+                                     np.float32)
+                    batch["add_time_ids"] = np.tile(row, (nrows, 1))
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if mesh is not None:
                 batch = mesh_lib.shard_batch(batch, mesh)

@@ -224,3 +224,58 @@ def test_dreambooth_dataset_ignores_cached_masks(tmp_path, tok):
     assert ds.num_instance_images == 2
     assert all(not p.endswith(".mask.png") for p in ds.instance_images_path)
     assert ds[0]["instance_images"].shape == (64, 64, 3)
+
+
+def test_crop_geometry_matches_transform(tmp_path, tok):
+    """return_geometry emits [orig_h, orig_w, crop_top, crop_left] rows
+    matching the deterministic resize-short + center-crop transform (the
+    SDXL text_time micro-conditioning convention: crop offsets in
+    post-resize pixel space)."""
+    from lora_tpu.data.dataset import DreamBoothDataset, crop_geometry
+
+    rs = np.random.RandomState(3)
+    # landscape: short side = height -> resize to (h=48, w=80), crop left
+    Image.fromarray((rs.rand(60, 100, 3) * 255).astype(np.uint8)).save(
+        tmp_path / "0 wide.jpg")
+    # portrait: short side = width -> resize to (h=80, w=48), crop top
+    Image.fromarray((rs.rand(100, 60, 3) * 255).astype(np.uint8)).save(
+        tmp_path / "1 tall.jpg")
+    ds = DreamBoothDataset(str(tmp_path), "p", tok, size=48,
+                           return_geometry=True)
+    g0 = ds[0]["instance_geometry"]
+    g1 = ds[1]["instance_geometry"]
+    np.testing.assert_array_equal(g0, [60, 100, 0, (80 - 48) // 2])
+    np.testing.assert_array_equal(g1, [100, 60, (80 - 48) // 2, 0])
+    # the helper agrees with itself over the (w, h) PIL convention
+    np.testing.assert_array_equal(
+        crop_geometry(100, 60, 48), g0)
+    # resize=False: crop offsets in the original frame
+    np.testing.assert_array_equal(
+        crop_geometry(100, 60, 48, resize=False), [60, 100, 6, 26])
+    # no flag -> no key (non-XL trainers see the old example layout)
+    ds_plain = DreamBoothDataset(str(tmp_path), "p", tok, size=48)
+    assert "instance_geometry" not in ds_plain[0]
+
+
+def test_loader_collates_geometry_with_prior(tmp_path, tok):
+    """time_ids_geom rows follow the [instance | class] collate layout."""
+    from lora_tpu.data.dataset import DreamBoothDataset
+
+    inst = tmp_path / "inst"
+    cls = tmp_path / "cls"
+    inst.mkdir()
+    cls.mkdir()
+    rs = np.random.RandomState(5)
+    Image.fromarray((rs.rand(60, 90, 3) * 255).astype(np.uint8)).save(
+        inst / "a.jpg")
+    Image.fromarray((rs.rand(90, 60, 3) * 255).astype(np.uint8)).save(
+        cls / "b.jpg")
+    ds = DreamBoothDataset(str(inst), "a sks", tok, class_data_root=str(cls),
+                           class_prompt="a dog", size=48,
+                           return_geometry=True)
+    batch = next(data_loader(ds, 2, prior_preservation=True, seed=0))
+    g = batch["time_ids_geom"]
+    assert g.shape == (4, 4) and g.dtype == np.float32
+    np.testing.assert_array_equal(g[0], g[1])  # both instance rows = a.jpg
+    np.testing.assert_array_equal(g[0][:2], [60, 90])
+    np.testing.assert_array_equal(g[2][:2], [90, 60])  # class rows = b.jpg

@@ -556,3 +556,57 @@ def test_ids2_from_ids_zero_pads_after_eos():
 
     out_j = np.asarray(ids2_from_ids(jnp.asarray(ids), eos))
     np.testing.assert_array_equal(out, out_j)
+
+
+def test_dreambooth_xl_per_image_time_ids(xl_pipe, tmp_path, monkeypatch):
+    """Uncached SDXL training feeds PER-IMAGE original-size/crop rows into
+    add_time_ids (upstream XL trainers' micro-conditioning), not the
+    constant training-resolution row; cached latents keep the constant
+    fallback."""
+    import dataclasses
+
+    import lora_tpu.training.dreambooth as db
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rs = np.random.RandomState(7)
+    # one landscape, one portrait — distinct geometry rows at size 64
+    Image.fromarray((rs.rand(80, 120, 3) * 255).astype(np.uint8)).save(
+        d / "wide.jpg")
+    Image.fromarray((rs.rand(120, 80, 3) * 255).astype(np.uint8)).save(
+        d / "tall.jpg")
+
+    captured = []
+    orig = db.make_train_step
+
+    def spy(**kw):
+        fn = orig(**kw)
+
+        def wrapped(trainable, opt_state, base, batch, rng):
+            captured.append(np.asarray(batch["add_time_ids"]))
+            return fn(trainable, opt_state, base, batch, rng)
+
+        return wrapped
+
+    monkeypatch.setattr(db, "make_train_step", spy)
+
+    cfg = DreamBoothConfig(
+        instance_data_dir=str(d), output_dir=str(tmp_path / "o"),
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=6, save_steps=0, output_format="safe", seed=0)
+    res = db.train_dreambooth(dataclasses.replace(xl_pipe), cfg)
+    assert np.isfinite(res["final_loss"])
+    rows = {tuple(r) for b in captured for r in b}
+    # resize-short to 64: wide -> (64, 96) crop left 16; tall -> top 16
+    assert (80, 120, 0, 16, 64, 64) in rows
+    assert (120, 80, 16, 0, 64, 64) in rows
+    assert (64, 64, 0, 0, 64, 64) not in rows
+
+    # cached latents: constant training-res fallback
+    captured.clear()
+    cfg2 = dataclasses.replace(cfg, cached_latents=True,
+                               output_dir=str(tmp_path / "o2"),
+                               max_train_steps=2)
+    db.train_dreambooth(dataclasses.replace(xl_pipe), cfg2)
+    rows2 = {tuple(r) for b in captured for r in b}
+    assert rows2 == {(64, 64, 0, 0, 64, 64)}
