@@ -281,7 +281,10 @@ def _clamped_cayley(q: np.ndarray, alpha, out_dim: int) -> np.ndarray:
     skew = q - np.swapaxes(q, -1, -2)
     if alpha is not None and float(np.asarray(alpha)) > 0:
         # sd-scripts/LyCORIS: constraint = alpha * out_dim, clamp ||Q||_F
-        # over ALL blocks (eps 1e-8 matching their clamp arithmetic)
+        # over ALL blocks — and for BOFT over all STAGES too: get_r calls
+        # torch.norm on the whole (m, n, b, b) tensor, one global factor
+        # (granularity pinned by test_boft_alpha_clamp_is_global; eps 1e-8
+        # matching their clamp arithmetic)
         constraint = float(np.asarray(alpha)) * out_dim
         n = float(np.linalg.norm(skew))
         skew = skew * ((min(n, constraint) + 1e-8) / (n + 1e-8))

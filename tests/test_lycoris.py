@@ -549,3 +549,129 @@ def test_boft_conv_and_bad_shapes(tmp_path, unet_params):
         load_lycoris(_save(tmp_path, {lkey + ".oft_blocks": qbad},
                            "bad.safetensors"),
                      unet_sites=USITES, unet_params=unet_params)
+
+
+def _butterfly_oracle(w2d, rot, b):
+    """SECOND independent BOFT oracle built from explicit permutation and
+    block-diagonal matrices — no reshape/transpose bookkeeping shared with
+    _compose_boft (or with _butterfly_merge above, which transcribes it):
+    stage i applies P_i^T . blockdiag(rot_i) . P_i, where P_i gathers the
+    output channels in butterfly order (wing stride 2^i * b/2)."""
+    out = w2d.shape[0]
+    acc = np.asarray(w2d, np.float64)
+    r_b = b // 2
+    n = out // b
+    for i in range(rot.shape[0]):
+        k = (2 ** i) * r_b
+        c = out // (2 * k)
+        perm = [ci * 2 * k + gi * k + ki
+                for ci in range(c) for ki in range(k) for gi in range(2)]
+        P = np.eye(out)[perm]
+        B = np.zeros((out, out))
+        for bi in range(n):
+            B[bi * b:(bi + 1) * b, bi * b:(bi + 1) * b] = rot[i, bi]
+        acc = P.T @ B @ P @ acc
+    return acc
+
+
+def test_boft_matches_permutation_matrix_oracle(tmp_path, unet_params):
+    """The butterfly apply agrees with an explicit permutation-matrix +
+    block-diagonal construction (structurally independent of the loader's
+    reshape/transpose implementation)."""
+    rng = np.random.RandomState(41)
+    key = kohya_key("unet", LIN.name)
+    out = LIN.out_dim
+    b = out // 4
+    q = (0.1 * rng.randn(2, out // b, b, b)).astype(np.float32)
+    lu, _ = load_lycoris(_save(tmp_path, {key + ".oft_blocks": q}),
+                         unet_sites=USITES, unet_params=unet_params)
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 1, 3, 2)
+    eye = np.eye(b, dtype=np.float32)
+    rot = np.matmul(eye + skew, np.linalg.inv(eye - skew))
+    want = _butterfly_oracle(w, rot, b) - w
+    np.testing.assert_allclose(np.asarray(lu["sites"][LIN.name]["delta"]),
+                               want, rtol=1e-4, atol=1e-5)
+
+
+def test_boft_hand_computed_4_channel(tmp_path):
+    """Fully hand-derived 4-channel BOFT golden: 2 stages of 2x2 Givens
+    blocks. Stage 0 pairs channels (0,1),(2,3); stage 1's butterfly pairs
+    (0,2),(1,3). Cayley of skew [[0,s],[-s,0]] has the closed form
+    1/(1+s^2) * [[1-s^2, 2s],[-2s, 1-s^2]] — the expected merged weight is
+    built from those literals and explicit index bookkeeping only."""
+    from lora_tpu.core.sites import Site
+
+    site = Site("fake.proj", "linear", 3, 4)
+    w = np.arange(12, dtype=np.float32).reshape(4, 3) / 7.0 + 0.25
+    params = {"fake.proj.weight": w}
+
+    s = [0.3, -0.5, 0.2, 0.7]
+    q = np.zeros((2, 2, 2, 2), np.float32)
+    q[0, 0, 0, 1], q[0, 1, 0, 1] = s[0], s[1]   # stage 0: blocks (0,1),(2,3)
+    q[1, 0, 0, 1], q[1, 1, 0, 1] = s[2], s[3]   # stage 1: blocks (0,2),(1,3)
+
+    def giv(v):
+        d = 1.0 + v * v
+        return np.array([[(1 - v * v) / d, 2 * v / d],
+                         [-2 * v / d, (1 - v * v) / d]])
+
+    r0 = np.zeros((4, 4))
+    r0[:2, :2], r0[2:, 2:] = giv(s[0]), giv(s[1])
+    r1 = np.zeros((4, 4))
+    for (a, c_), g in (((0, 2), giv(s[2])), ((1, 3), giv(s[3]))):
+        r1[a, a], r1[a, c_] = g[0, 0], g[0, 1]
+        r1[c_, a], r1[c_, c_] = g[1, 0], g[1, 1]
+    want = r1 @ r0 @ w - w
+
+    key = kohya_key("unet", site.name)
+    lu, _ = load_lycoris(_save(tmp_path, {key + ".oft_blocks": q}),
+                         unet_sites=[site], unet_params=params)
+    np.testing.assert_allclose(np.asarray(lu["sites"][site.name]["delta"]),
+                               want, rtol=1e-5, atol=1e-6)
+
+
+def test_boft_alpha_clamp_is_global(tmp_path, unet_params):
+    """alpha > 0 clamps ||Q||_F over the WHOLE (m, n, b, b) skew tensor —
+    ONE factor across all stages (LyCORIS boft.py get_r calls torch.norm on
+    the full tensor), not per stage. Stage 0 is made huge and stage 1 tiny
+    so the two granularities disagree: a per-stage clamp would leave stage
+    1 untouched while the global factor shrinks it too."""
+    rng = np.random.RandomState(43)
+    key = kohya_key("unet", LIN.name)
+    out = LIN.out_dim
+    b = out // 4
+    alpha = 0.05
+    q = np.stack([
+        (5.0 * rng.randn(out // b, b, b)).astype(np.float32),   # huge
+        (0.01 * rng.randn(out // b, b, b)).astype(np.float32),  # tiny
+    ])
+    lu, _ = load_lycoris(
+        _save(tmp_path, {key + ".oft_blocks": q,
+                         key + ".alpha": np.float32(alpha)}),
+        unet_sites=USITES, unet_params=unet_params)
+    got = np.asarray(lu["sites"][LIN.name]["delta"])
+
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    skew = q - q.transpose(0, 1, 3, 2)
+    constraint = alpha * out
+    assert np.linalg.norm(skew[1]) < constraint < np.linalg.norm(skew)
+
+    def rotations(sk):
+        eye = np.eye(b, dtype=np.float32)
+        return np.matmul(eye + sk, np.linalg.inv(eye - sk))
+
+    # global clamp: one factor over the full tensor (the LyCORIS formula)
+    sk_g = skew * (constraint / np.linalg.norm(skew))
+    want = _butterfly_oracle(w, rotations(sk_g), b) - w
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # a per-stage clamp would give a materially different delta — the
+    # assertion above discriminates, it isn't vacuous
+    sk_p = skew.copy()
+    for i in range(2):
+        n_i = np.linalg.norm(skew[i])
+        if n_i > constraint:
+            sk_p[i] = skew[i] * (constraint / n_i)
+    per_stage = _butterfly_oracle(w, rotations(sk_p), b) - w
+    assert np.abs(per_stage - want).max() > 1e-3

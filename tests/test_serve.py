@@ -513,9 +513,9 @@ def test_backpressure_counts_rows_not_requests(server):
 
 def test_xl_pipeline_serving(tmp_path):
     """An SDXL pipe serves through the same endpoint: the embed cache
-    stores (context, pooled) pairs, CFG negatives flow through, repeats
-    hit the cache, and a patched text-encoder LoRA keys the cache on the
-    effective alpha."""
+    stores (context, pooled) pairs, CFG negatives flow through, and
+    repeats hit the cache. (Alpha keying with a patched te2 LoRA is
+    covered by test_xl_te2_lora_keys_embed_cache.)"""
     from lora_tpu.models.config import (
         TINY_XL_TEXT,
         TINY_XL_TEXT2,
@@ -542,5 +542,59 @@ def test_xl_pipeline_serving(tmp_path):
         assert out2["images"][0] == out["images"][0]
         assert srv.embed_cache_misses == misses0
         assert srv.embed_cache_hits > 0
+    finally:
+        srv.stop()
+
+
+def test_xl_te2_lora_keys_embed_cache(tmp_path):
+    """A te2-ONLY XL adapter (lora_text stays None, lora_text2 set) must
+    flip has_text_lora, so the embed cache keys on the effective alpha:
+    repeats at one alpha hit, an alpha change misses and re-encodes, and
+    alpha=0 reproduces the unpatched render exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lora_tpu.core.lora import init_lora
+    from lora_tpu.core.sites import text_encoder_lora_sites
+    from lora_tpu.models.config import (
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.formats.kohya import save_kohya_xl
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    t2 = text_encoder_lora_sites(TINY_XL_TEXT2)
+    lt2 = init_lora(t2, r=2, rng=jax.random.PRNGKey(5))
+    for e in lt2["sites"].values():
+        e["up"] = e["up"] + jnp.float32(0.1)
+    p = str(tmp_path / "te2only.safetensors")
+    save_kohya_xl(p, unet_cfg=TINY_XL_UNET, lora_text2=lt2, text2_sites=t2,
+                  dtype=np.float32)
+
+    srv = PipelineServer(pipe, port=0).start()
+    req = {"prompt": "an xl probe", "steps": 2, "height": 64, "width": 64,
+           "seed": 2, "alpha": 1.0}
+    try:
+        base_out, _ = _post(srv, req)  # unpatched render at this seed
+        with srv.lock:
+            pipe.patch_pipe(p)
+        assert pipe.lora_text is None and pipe.lora_text2 is not None
+        assert pipe.lora_unet is None
+
+        out1, _ = _post(srv, req)
+        assert out1["images"] != base_out["images"]  # te2 LoRA is live
+        m0 = srv.embed_cache_misses
+        out1b, _ = _post(srv, req)  # same text, same alpha: pure cache hit
+        assert srv.embed_cache_misses == m0
+        assert out1b["images"] == out1["images"]
+
+        out0, _ = _post(srv, dict(req, alpha=0.0))  # alpha change: re-encode
+        assert srv.embed_cache_misses > m0
+        # zero scale == unpatched forward, bit-for-bit at the same seed
+        assert out0["images"] == base_out["images"]
     finally:
         srv.stop()
