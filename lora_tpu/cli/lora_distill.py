@@ -111,6 +111,14 @@ def svd_distill_cli(
         else:
             lu, lt = load_kohya(target_model, unet_sites=u_all,
                                 text_sites=t_all)
+        for mname, t in (("unet", lu), ("text_encoder", lt),
+                         ("text_encoder_2", lt2)):
+            if t and t.get("param_deltas"):
+                raise ValueError(
+                    f"--from_lora cannot convert this adapter: it carries "
+                    f"{len(t['param_deltas'])} norm/bias param deltas on "
+                    f"{mname} (LyCORIS norm/full modules) which plain "
+                    f"LoRA cannot represent")
         tuned_unet = collapse_lora(base_unet, lu) if lu else base_unet
         tuned_text = collapse_lora(base_text, lt) if lt else base_text
         tuned_text2 = (collapse_lora(base_text2, lt2) if lt2

@@ -40,14 +40,28 @@ delta differently:
   "rescaled" variant's per-channel `rescale` applied after the
   rotation. Base-weight-dependent.
 
-The Hadamard/Kronecker/DoRA/OFT compositions are full-rank, so they load
-as exact `{"delta"}` entries in the LoRA pytree
+- **GLoRA**: the GLoRA paper's W' = W + W.A + B — A = a2 @ a1 acts on
+  the frozen weight's input, B = b2 @ b1 is a plain low-rank bypass,
+  both scaled alpha/r (LyCORIS modules/glora.py; factor keys
+  `a1/a2/b1/b2.weight`). Base-weight-dependent.
+- **full**: the stored `diff` IS the weight delta (W_tuned - W_base,
+  LyCORIS modules/full.py); an optional `diff_b` bias delta rides the
+  tree's `param_deltas` channel (biases are not matmul sites).
+- **norm**: `w_norm`/`b_norm` deltas on GroupNorm/LayerNorm layers
+  (LyCORIS modules/norms.py, train_norm=True). Norm layers are outside
+  the matmul site registry, so these resolve against the model's own
+  param paths and load as `param_deltas` which the pipes apply to base
+  params as W + scale * delta — exact, since norm outputs are linear in
+  (weight, bias).
+
+The Hadamard/Kronecker/DoRA/OFT/GLoRA/full compositions are full-rank,
+so they load as exact `{"delta"}` entries in the LoRA pytree
 (core/lora.lora_from_deltas) rather than (up, down) pairs; forward
 application, scale tuning, collapse and removal all work identically. A
 single file may mix algorithms per module (plain LoRA pairs included —
-those stay factored). Unknown factor keys (LoHa++/GLoRA factors,
-norm-module `w_norm`/`b_norm` tensors, ...) raise loudly so a
-partial load can never pass silently.
+those stay factored). Unknown factor keys (LoHa++ variants, mixed
+factor sets, ...) raise loudly so a partial load can never pass
+silently.
 
 The reference repo predates LyCORIS entirely (its formats are the
 `{model}:{idx}:up/down` safetensors and flat `.pt` lists —
@@ -78,28 +92,44 @@ _LOKR_LEAVES = {"lokr_w1", "lokr_w1_a", "lokr_w1_b",
 _IA3_LEAVES = {"weight", "on_input", "alpha"}
 _DORA_LEAVES = _LORA_LEAVES | {"dora_scale"}
 _OFT_LEAVES = {"oft_blocks", "alpha", "rescale"}
+_GLORA_LEAVES = {"a1", "a2", "b1", "b2", "alpha"}
+_FULL_LEAVES = {"diff", "diff_b", "alpha"}
+_NORM_LEAVES = {"w_norm", "b_norm", "alpha"}
 
 def is_lycoris(keys: Sequence[str]) -> bool:
-    """True if any key carries a LoHa/LoKr/IA3/DoRA/OFT factor (vs plain
-    kohya LoRA/LoCon, which formats/kohya.py loads keeping the
-    factorization)."""
+    """True if any key carries a LoHa/LoKr/IA3/DoRA/OFT/GLoRA/full/norm
+    factor (vs plain kohya LoRA/LoCon, which formats/kohya.py loads
+    keeping the factorization)."""
     for k in keys:
         leaf = k.rpartition(".")[2]
         if leaf.startswith(("hada_", "lokr_")) or \
-                leaf in ("on_input", "dora_scale", "oft_blocks"):
+                leaf in ("on_input", "dora_scale", "oft_blocks",
+                         "diff", "diff_b", "w_norm", "b_norm"):
+            return True
+        if k.endswith((".a1.weight", ".a2.weight",
+                       ".b1.weight", ".b2.weight")):
             return True
     return False
 
 
 def _detect_algo(base: str, leaves: set) -> str:
-    # magnitude/rotation tensors are unambiguous markers; check them first
-    # (a DoRA group is a superset of the plain-LoRA leaf set)
+    # magnitude/rotation/diff tensors are unambiguous markers; check them
+    # first (a DoRA group is a superset of the plain-LoRA leaf set)
     if "dora_scale" in leaves:
         if leaves <= _DORA_LEAVES:
             return "dora"
     elif "oft_blocks" in leaves:
         if leaves <= _OFT_LEAVES:
             return "oft"
+    elif "diff" in leaves or "diff_b" in leaves:
+        if leaves <= _FULL_LEAVES:
+            return "full"
+    elif "w_norm" in leaves or "b_norm" in leaves:
+        if leaves <= _NORM_LEAVES:
+            return "norm"
+    elif {"a1", "a2", "b1", "b2"} & leaves:
+        if leaves <= _GLORA_LEAVES:
+            return "glora"
     else:
         for algo, known in (("lora", _LORA_LEAVES), ("loha", _LOHA_LEAVES),
                             ("lokr", _LOKR_LEAVES), ("ia3", _IA3_LEAVES)):
@@ -107,7 +137,7 @@ def _detect_algo(base: str, leaves: set) -> str:
                 return algo
     raise ValueError(
         f"kohya module {base!r} has unsupported factor tensors "
-        f"{sorted(leaves)} (LoHa++/GLoRA/norm?); refusing a partial "
+        f"{sorted(leaves)} (LoHa++/mixed algorithms?); refusing a partial "
         f"load")
 
 
@@ -361,6 +391,79 @@ def _compose_oft(base: str, site: Site, g: Dict[str, np.ndarray],
     return merged - w
 
 
+def _compose_glora(base: str, site: Site, g: Dict[str, np.ndarray],
+                   base_weight: np.ndarray) -> np.ndarray:
+    """GLoRA merged delta (the GLoRA paper's W' = W + W.A + B as LyCORIS
+    modules/glora.py factors it): A = a2 @ a1 acts on the INPUT of the
+    frozen weight, B = b2 @ b1 is a plain low-rank bypass;
+    dW = (W @ A + B) * alpha/r. For convs a1/a2/b1 are 1x1 (squeezed to
+    2-D) and b2 carries the site's kernel."""
+    need = {"a1", "a2", "b1", "b2"}
+    if not need <= set(g):
+        raise ValueError(f"GLoRA module {base!r} is missing factors "
+                         f"{sorted(need - set(g))}")
+    a1 = np.asarray(g["a1"], np.float32)
+    a2 = np.asarray(g["a2"], np.float32)
+    b1 = np.asarray(g["b1"], np.float32)
+    b2 = np.asarray(g["b2"], np.float32)
+    r = a1.shape[0]
+    if a1.ndim == 4:  # conv factors: a1/a2/b1 must be 1x1 bottlenecks
+        for name, t in (("a1", a1), ("a2", a2), ("b1", b1)):
+            if t.shape[2:] != (1, 1):
+                raise ValueError(
+                    f"GLoRA module {base!r}: {name} must be a 1x1 conv, "
+                    f"got kernel {t.shape[2:]}")
+        a1, a2, b1 = a1[..., 0, 0], a2[..., 0, 0], b1[..., 0, 0]
+    w = np.asarray(base_weight, np.float32).reshape(_site_shape(site))
+    A = a2 @ a1  # (in, in)
+    if A.shape != (site.in_dim, site.in_dim):
+        raise ValueError(
+            f"GLoRA module {base!r}: a2 @ a1 composes to {A.shape}, the "
+            f"input axis has {site.in_dim}")
+    if site.kind == "conv":
+        # W @ A over the input-channel axis, keeping the spatial taps
+        wa = np.einsum("oihw,ij->ojhw", w, A)
+        if b2.shape != w.shape[:1] + (r,) + w.shape[2:]:
+            raise ValueError(
+                f"GLoRA module {base!r}: b2 {b2.shape} must carry the "
+                f"site kernel {w.shape[2:]} over rank {r}")
+        bb = np.einsum("orhw,ri->oihw", b2, b1)
+    else:
+        wa = w @ A
+        bb = b2 @ b1
+    if bb.shape != w.shape:
+        raise ValueError(
+            f"GLoRA module {base!r}: b2 @ b1 composes to {bb.shape}, "
+            f"the site needs {w.shape}")
+    alpha = float(np.asarray(g.get("alpha", r)))
+    return (wa + bb) * (alpha / r)
+
+
+def _compose_full(base: str, site: Site,
+                  g: Dict[str, np.ndarray]) -> np.ndarray:
+    """Full-module weight delta: `diff` IS W_tuned - W_base (LyCORIS
+    modules/full.py); alpha is ignored by loaders (the diff is absolute).
+    The optional bias delta `diff_b` rides the param-delta channel."""
+    if "diff" not in g:
+        raise ValueError(
+            f"full module {base!r} has only a bias diff; refusing (the "
+            f"weight diff is mandatory in LyCORIS full modules)")
+    return np.asarray(g["diff"], np.float32)
+
+
+def _mangled_param_index(prefix: str, params) -> Dict[str, str]:
+    """kohya module base -> model param path-prefix, for modules OUTSIDE
+    the matmul site registry (norm layers). Built from the params dict so
+    the underscore-mangling is inverted exactly (paths contain digits, so
+    string un-mangling alone is ambiguous)."""
+    out: Dict[str, str] = {}
+    for k in params:
+        if k.endswith(".weight"):
+            path = k[: -len(".weight")]
+            out[prefix + "_" + path.replace(".", "_")] = path
+    return out
+
+
 def _parse_groups(f: SafetensorsFile) -> Dict[str, Dict[str, np.ndarray]]:
     """Group a LyCORIS file's keys per module base, accepting every factor
     leaf any supported algorithm uses; anything else raises."""
@@ -368,11 +471,13 @@ def _parse_groups(f: SafetensorsFile) -> Dict[str, Dict[str, np.ndarray]]:
     for k in f.keys():
         base, _, leaf = k.rpartition(".")
         if leaf == "weight" and base.endswith((".lora_up", ".lora_down",
-                                               ".lora_mid")):
+                                               ".lora_mid", ".a1", ".a2",
+                                               ".b1", ".b2")):
             base, _, which = base.rpartition(".")
             groups.setdefault(base, {})[which] = f.get_tensor(k)
         elif leaf in ("alpha", "weight", "on_input", "dora_scale",
-                      "oft_blocks", "rescale") or \
+                      "oft_blocks", "rescale", "diff", "diff_b",
+                      "w_norm", "b_norm") or \
                 leaf.startswith(("hada_", "lokr_")):
             groups.setdefault(base, {})[leaf] = f.get_tensor(k)
         else:
@@ -418,34 +523,56 @@ def load_lycoris(
                 out[model] = None
                 continue
             index = _site_index(model, sites)
-            present = {b: g for b, g in groups.items() if b in index}
-            if not present:
-                out[model] = None
-                continue
-            unknown = [b for b in groups
-                       if b.startswith(_PREFIX[model] + "_")
-                       and b not in index]
-            if unknown:
-                raise ValueError(
-                    f"LyCORIS file has {model} modules outside the known "
-                    f"site set: {sorted(unknown)[:5]}"
-                    f"{'...' if len(unknown) > 5 else ''}")
-            entries = _entries_for_sites(model, present, index, sites,
-                                         params, dtype)
-            out[model] = ({"sites": entries,
-                           "scale": jnp.asarray(1.0, jnp.float32)}
-                          if entries else None)
+            out[model] = _load_model_groups(
+                model, _PREFIX[model], groups, index, sites, params, dtype)
     return out["unet"], out["text_encoder"]
+
+
+def _load_model_groups(model, prefix, groups, index, sites, params, dtype):
+    """One model's tree from a parsed LyCORIS file: matmul-site modules
+    dispatch per algorithm; norm modules (outside the site registry)
+    resolve against the model's param index and ride the tree's
+    `param_deltas` channel (applied to base params by the pipes)."""
+    import jax.numpy as jnp
+
+    present = {b: g for b, g in groups.items() if b in index}
+    leftover = [b for b in groups
+                if b.startswith(prefix + "_") and b not in index]
+    norm_bases = [b for b in leftover
+                  if {"w_norm", "b_norm"} & set(groups[b])]
+    unknown = [b for b in leftover if b not in norm_bases]
+    if unknown:
+        raise ValueError(
+            f"LyCORIS file has {model} modules outside the known "
+            f"site set: {sorted(unknown)[:5]}"
+            f"{'...' if len(unknown) > 5 else ''}")
+    pdeltas: Dict[str, np.ndarray] = {}
+    if norm_bases:
+        pindex = _mangled_param_index(prefix, params or {})
+        pdeltas = _norm_param_deltas(model, norm_bases, groups, pindex,
+                                     params)
+    entries, pd2 = _entries_for_sites(model, present, index, sites,
+                                      params, dtype)
+    pdeltas.update(pd2)
+    if not entries and not pdeltas:
+        return None
+    tree = {"sites": entries, "scale": jnp.asarray(1.0, jnp.float32)}
+    if pdeltas:
+        tree["param_deltas"] = pdeltas
+    return tree
 
 
 def _entries_for_sites(model, present, index, sites, params, dtype):
     """Per-site algorithm dispatch shared by the SD1.x/2.x and SDXL
     loaders: `present` maps kohya module bases to their factor groups,
-    `index` maps those bases to Sites."""
+    `index` maps those bases to Sites. Returns (entries, param_deltas)
+    where param_deltas carries full-module BIAS diffs keyed by flat param
+    path (site weights become delta entries; biases are not sites)."""
     import jax.numpy as jnp
 
     by_name = {index[b].name: b for b in present}
     entries = {}
+    param_deltas: Dict[str, np.ndarray] = {}
     for s in sites:
         base = by_name.get(s.name)
         if base is None:
@@ -468,7 +595,7 @@ def _entries_for_sites(model, present, index, sites, params, dtype):
             entries[s.name] = {"up": jnp.asarray(up, dtype),
                                "down": jnp.asarray(down, dtype)}
             continue
-        if algo in ("ia3", "dora", "oft"):
+        if algo in ("ia3", "dora", "oft", "glora"):
             if params is None:
                 raise ValueError(
                     f"{algo.upper()} module {base!r} needs the "
@@ -480,6 +607,33 @@ def _entries_for_sites(model, present, index, sites, params, dtype):
                     f"{algo.upper()} module {base!r}: no base "
                     f"weight {s.name + '.weight'!r} in {model} "
                     f"params")
+        if algo == "full":
+            delta = _compose_full(base, s, g)
+            if "diff_b" in g:
+                bk = s.name + ".bias"
+                if params is None:
+                    raise ValueError(
+                        f"full module {base!r} carries a bias diff; pass "
+                        f"{model}_params so it can be checked against the "
+                        f"base bias")
+                if bk not in params:
+                    raise ValueError(
+                        f"full module {base!r} has a bias diff but the "
+                        f"{model} site {s.name!r} has no bias parameter")
+                db = np.asarray(g["diff_b"], np.float32)
+                bshape = tuple(np.shape(params[bk]))
+                if db.shape != bshape:
+                    raise ValueError(
+                        f"full module {base!r}: diff_b {db.shape} vs base "
+                        f"bias {bshape}")
+                param_deltas[bk] = db
+            want = _site_shape(s)
+            if tuple(delta.shape) != want:
+                raise ValueError(
+                    f"LyCORIS module {base!r} composes to "
+                    f"{delta.shape}, site {s.name} needs {want}")
+            entries[s.name] = {"delta": jnp.asarray(delta, dtype)}
+            continue
         if algo == "loha":
             delta = _compose_loha(
                 base, s, {k: np.asarray(v, np.float32)
@@ -493,6 +647,12 @@ def _entries_for_sites(model, present, index, sites, params, dtype):
             delta = _compose_dora(base, s, g, np.asarray(bw))
         elif algo == "oft":
             delta = _compose_oft(base, s, g, np.asarray(bw))
+        elif algo == "glora":
+            delta = _compose_glora(base, s, g, np.asarray(bw))
+        elif algo == "norm":
+            raise ValueError(
+                f"norm module {base!r} targets a matmul site {s.name!r} — "
+                f"w_norm/b_norm belong on normalization layers")
         else:  # ia3
             delta = _compose_ia3(base, s, g, np.asarray(bw))
         want = _site_shape(s)
@@ -501,7 +661,44 @@ def _entries_for_sites(model, present, index, sites, params, dtype):
                 f"LyCORIS module {base!r} composes to "
                 f"{delta.shape}, site {s.name} needs {want}")
         entries[s.name] = {"delta": jnp.asarray(delta, dtype)}
-    return entries
+    return entries, param_deltas
+
+
+def _norm_param_deltas(model, bases, groups, pindex, params):
+    """Resolve norm-module groups (w_norm/b_norm deltas on GroupNorm/
+    LayerNorm layers — LyCORIS modules/norms.py, train_norm=True) to flat
+    param-path deltas. Norm layers are not matmul sites, so they resolve
+    against the model's own param index; the merged weights are
+    w + w_norm * scale / b + b_norm * scale — linear in scale, so the
+    pipes' lerp application is the exact LyCORIS multiplier semantics."""
+    out: Dict[str, np.ndarray] = {}
+    for base in bases:
+        g = groups[base]
+        if params is None:
+            raise ValueError(
+                f"norm module {base!r} needs {model}_params to resolve "
+                f"its layer path and check shapes")
+        pbase = pindex.get(base)
+        if pbase is None:
+            raise ValueError(
+                f"norm module {base!r} does not match any {model} "
+                f"parameter path")
+        for leaf, suffix in (("w_norm", ".weight"), ("b_norm", ".bias")):
+            if leaf not in g:
+                continue
+            key = pbase + suffix
+            if key not in params:
+                raise ValueError(
+                    f"norm module {base!r}: the {model} layer has no "
+                    f"{suffix[1:]} parameter {key!r}")
+            d = np.asarray(g[leaf], np.float32)
+            want = tuple(np.shape(params[key]))
+            if d.shape != want:
+                raise ValueError(
+                    f"norm module {base!r}: {leaf} {d.shape} vs base "
+                    f"{want}")
+            out[key] = d
+    return out
 
 
 def load_lycoris_xl(
@@ -544,21 +741,7 @@ def load_lycoris_xl(
                 out[model] = None
                 continue
             index = _xl_index(model, sites, unet_cfg)
-            present = {b: g for b, g in groups.items() if b in index}
-            if not present:
-                out[model] = None
-                continue
-            unknown = [b for b in groups
-                       if b.startswith(_PREFIX_XL[model] + "_")
-                       and b not in index]
-            if unknown:
-                raise ValueError(
-                    f"SDXL LyCORIS file has {model} modules outside the "
-                    f"known site set: {sorted(unknown)[:5]}"
-                    f"{'...' if len(unknown) > 5 else ''}")
-            entries = _entries_for_sites(model, present, index, sites,
-                                         params, dtype)
-            out[model] = ({"sites": entries,
-                           "scale": jnp.asarray(1.0, jnp.float32)}
-                          if entries else None)
+            out[model] = _load_model_groups(
+                model, _PREFIX_XL[model], groups, index, sites, params,
+                dtype)
     return out["unet"], out["text_encoder"], out["text_encoder_2"]

@@ -202,6 +202,12 @@ class StableDiffusionPipeline:
     # adapter-dependent results — e.g. the serving embed LRU — can detect
     # staleness that a (text, alpha) key alone would miss
     adapter_generation: int = 0
+    # LyCORIS norm/full modules carry deltas on params that are NOT matmul
+    # sites (GroupNorm/LayerNorm weight+bias, linear biases). Those apply
+    # eagerly to the base params as original + alpha * delta — exact
+    # LyCORIS multiplier semantics, since the affected ops are linear in
+    # the patched params. {model: {"deltas": {path: d}, "orig": {path: w}}}
+    base_deltas: Optional[dict] = None
 
     def __post_init__(self):
         if self.schedule is None:
@@ -243,6 +249,53 @@ class StableDiffusionPipeline:
                    schedule=load_scheduler_config(path), dtype=dtype)
 
     # -- LoRA / TI management (patch_pipe equivalents) ------------------------
+    # model name (as the format layer uses it) -> params attribute
+    _PARAMS_ATTR = {"unet": "unet_params", "text_encoder": "text_params"}
+
+    def _install_base_deltas(self, model: str, tree):
+        """Pop a LyCORIS tree's `param_deltas` channel (norm-module and
+        full-module bias deltas, formats/lycoris.py), record the original
+        params, and apply at scale 1. Returns the tree without the
+        channel — None if it carried only param deltas."""
+        if tree is None or "param_deltas" not in tree:
+            return tree
+        tree = dict(tree)
+        deltas = tree.pop("param_deltas")
+        params = getattr(self, self._PARAMS_ATTR[model])
+        if self.base_deltas is None:
+            self.base_deltas = {}
+        self.base_deltas[model] = {
+            "deltas": deltas, "orig": {k: params[k] for k in deltas}}
+        self._apply_base_deltas(model, 1.0)
+        return tree if tree["sites"] else None
+
+    def _apply_base_deltas(self, model: str, alpha: float) -> None:
+        rec = (self.base_deltas or {}).get(model)
+        if rec is None:
+            return
+        attr = self._PARAMS_ATTR[model]
+        params = dict(getattr(self, attr))
+        for k, d in rec["deltas"].items():
+            o = rec["orig"][k]
+            params[k] = (jnp.asarray(o, jnp.float32)
+                         + alpha * jnp.asarray(d, jnp.float32)
+                         ).astype(jnp.asarray(o).dtype)
+        setattr(self, attr, params)
+
+    def _clear_base_deltas(self, restore: bool = True) -> None:
+        for model, rec in (self.base_deltas or {}).items():
+            if restore:
+                attr = self._PARAMS_ATTR[model]
+                setattr(self, attr,
+                        {**getattr(self, attr), **rec["orig"]})
+        self.base_deltas = None
+
+    def has_base_deltas(self, model: str) -> bool:
+        """Whether alpha-dependent base-param deltas (LyCORIS norm/full
+        modules) are installed on `model` — serving caches of that model's
+        outputs must key on the effective alpha, like a LoRA's."""
+        return bool((self.base_deltas or {}).get(model))
+
     def unet_sites(self, target=None):
         return unet_lora_sites(self.unet_cfg, target)
 
@@ -275,12 +328,17 @@ class StableDiffusionPipeline:
                 t_sites = (text_encoder_locon_sites(self.text_cfg)
                            if patch_text else None)
                 if is_lycoris(f.keys()):
-                    # LoHa/LoKr/IA3 factor tensors: per-module dispatch,
-                    # full-rank modules load as exact delta entries
+                    # LoHa/LoKr/IA3/... factor tensors: per-module
+                    # dispatch, full-rank modules load as exact delta
+                    # entries; a replaced adapter's base-param deltas
+                    # (norm/full modules) are restored first
+                    self._clear_base_deltas()
                     lu, lt = load_lycoris(
                         path, unet_sites=u_sites, text_sites=t_sites,
                         unet_params=self.unet_params,
                         text_params=self.text_params)
+                    lu = self._install_base_deltas("unet", lu)
+                    lt = self._install_base_deltas("text_encoder", lt)
                 else:
                     lu, lt = load_kohya(
                         path, unet_sites=u_sites, text_sites=t_sites)
@@ -337,11 +395,15 @@ class StableDiffusionPipeline:
         if self.lora_text is not None:
             self.lora_text = lora_core.tune_lora_scale(
                 self.lora_text, alpha if text_alpha is None else text_alpha)
+        self._apply_base_deltas("unet", alpha)
+        self._apply_base_deltas(
+            "text_encoder", alpha if text_alpha is None else text_alpha)
 
     def remove_lora(self):
         """monkeypatch_remove_lora equivalent (lora.py:812-847)."""
         self.lora_unet = None
         self.lora_text = None
+        self._clear_base_deltas()
         self.adapter_generation += 1
 
     def quantize_base(self):
@@ -354,13 +416,18 @@ class StableDiffusionPipeline:
         self.vae_params = quantize_params_int8(self.vae_params)
 
     def collapse_lora(self, alpha: float = 1.0):
-        """Fold current LoRAs into base weights (lora.py:635-669)."""
+        """Fold current LoRAs into base weights (lora.py:635-669).
+        Base-param deltas (LyCORIS norm/full modules) fold at the same
+        alpha and their restore record is dropped."""
         if self.lora_unet is not None:
             self.unet_params = lora_core.collapse_lora(
                 self.unet_params, self.lora_unet, alpha)
         if self.lora_text is not None:
             self.text_params = lora_core.collapse_lora(
                 self.text_params, self.lora_text, alpha)
+        for model in self.base_deltas or {}:
+            self._apply_base_deltas(model, alpha)
+        self._clear_base_deltas(restore=False)
         self.remove_lora()
 
     # -- encoding -----------------------------------------------------------

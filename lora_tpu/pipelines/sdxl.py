@@ -68,6 +68,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
     text2_cfg: CLIPTextConfig = SDXL_TEXT2
     lora_text2: Optional[dict] = None
 
+    _PARAMS_ATTR = {"unet": "unet_params", "text_encoder": "text_params",
+                    "text_encoder_2": "text2_params"}
+
     def __post_init__(self):
         super().__post_init__()
         if self.text2_params is None:
@@ -147,11 +150,15 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         with SafetensorsFile(path) as f:
             lycoris = is_lycoris(f.keys())
         if lycoris:
+            self._clear_base_deltas()
             lu, lt1, lt2 = load_lycoris_xl(
                 path, unet_cfg=self.unet_cfg, unet_sites=u_sites,
                 text_sites=t_sites, text2_sites=t2_sites,
                 unet_params=self.unet_params, text_params=self.text_params,
                 text2_params=self.text2_params)
+            lu = self._install_base_deltas("unet", lu)
+            lt1 = self._install_base_deltas("text_encoder", lt1)
+            lt2 = self._install_base_deltas("text_encoder_2", lt2)
         else:
             lu, lt1, lt2 = load_kohya_xl(
                 path, unet_cfg=self.unet_cfg, unet_sites=u_sites,
@@ -171,6 +178,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if self.lora_text2 is not None:
             self.lora_text2 = lora_core.tune_lora_scale(
                 self.lora_text2, alpha if text_alpha is None else text_alpha)
+        self._apply_base_deltas(
+            "text_encoder_2", alpha if text_alpha is None else text_alpha)
 
     def remove_lora(self):
         super().remove_lora()
@@ -180,7 +189,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         if self.lora_text2 is not None:
             self.text2_params = lora_core.collapse_lora(
                 self.text2_params, self.lora_text2, alpha)
-        super().collapse_lora(alpha)
+        super().collapse_lora(alpha)  # folds base_deltas for ALL models
 
     # -- encoding ------------------------------------------------------------
     def encode_prompt_xl(

@@ -388,7 +388,12 @@ class PipelineServer:
             gen = getattr(self.pipe, "adapter_generation", 0)
             has_text_lora = (self.pipe.lora_text is not None
                              or getattr(self.pipe, "lora_text2", None)
-                             is not None)
+                             is not None
+                             # LyCORIS norm/full modules patch text BASE
+                             # params alpha-dependently (pipe.base_deltas)
+                             or self.pipe.has_base_deltas("text_encoder")
+                             or self.pipe.has_base_deltas("text_encoder_2")
+                             )
             key_alpha = ((gen, self._current_alpha)
                          if has_text_lora else (gen, None))
             emb = self._cached_embeds(prompts, key_alpha)

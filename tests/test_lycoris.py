@@ -283,12 +283,19 @@ def test_patch_pipe_lycoris_equals_collapse(tmp_path):
 
 
 def test_unknown_factor_tensors_raise(tmp_path):
-    # norm-module tensors (LyCORIS full/norm algorithms) stay unsupported
+    # a mixed group — LoHa factors plus a norm-module tensor on the SAME
+    # module — must refuse, not guess an algorithm
     tensors = _loha_linear_tensors(LIN, r=2, seed=17)
     key = kohya_key("unet", LIN.name)
     tensors[key + ".w_norm"] = np.zeros((LIN.out_dim,), np.float32)
-    with pytest.raises(ValueError, match="unrecognized LyCORIS key"):
+    with pytest.raises(ValueError, match="unsupported factor tensors"):
         load_lycoris(_save(tmp_path, tensors), unet_sites=USITES)
+    # a leaf no LyCORIS algorithm uses stays unrecognized
+    t0 = _loha_linear_tensors(LIN, r=2, seed=20)
+    t0[key + ".mystery_factor"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unrecognized LyCORIS key"):
+        load_lycoris(_save(tmp_path, t0, "unk.safetensors"),
+                     unet_sites=USITES)
     # a recognized leaf in an inconsistent group (LoHa factors + a DoRA
     # magnitude) must refuse the module, not guess an algorithm
     tensors2 = _loha_linear_tensors(LIN, r=2, seed=18)
@@ -675,3 +682,272 @@ def test_boft_alpha_clamp_is_global(tmp_path, unet_params):
             sk_p[i] = skew[i] * (constraint / n_i)
     per_stage = _butterfly_oracle(w, rotations(sk_p), b) - w
     assert np.abs(per_stage - want).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# GLoRA / full / norm modules (round 5): the last LyCORIS algorithms
+
+
+def test_glora_linear_matches_closed_form(tmp_path, unet_params):
+    """GLoRA (W' = W + W.A + B): A = a2 @ a1 on the input of the frozen
+    weight, B = b2 @ b1 a plain bypass, both * alpha/r."""
+    rng = np.random.RandomState(51)
+    key = kohya_key("unet", LIN.name)
+    r, alpha = 3, 1.5
+    a1 = (0.1 * rng.randn(r, LIN.in_dim)).astype(np.float32)
+    a2 = (0.1 * rng.randn(LIN.in_dim, r)).astype(np.float32)
+    b1 = (0.1 * rng.randn(r, LIN.in_dim)).astype(np.float32)
+    b2 = (0.1 * rng.randn(LIN.out_dim, r)).astype(np.float32)
+    t = {key + ".a1.weight": a1, key + ".a2.weight": a2,
+         key + ".b1.weight": b1, key + ".b2.weight": b2,
+         key + ".alpha": np.float32(alpha)}
+    assert is_lycoris(list(t))
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=USITES,
+                         unet_params=unet_params)
+    w = np.asarray(unet_params[LIN.name + ".weight"], np.float32)
+    want = (w @ (a2 @ a1) + b2 @ b1) * (alpha / r)
+    np.testing.assert_allclose(np.asarray(lu["sites"][LIN.name]["delta"]),
+                               want, rtol=1e-4, atol=1e-6)
+    # base weights are required (the W.A term)
+    with pytest.raises(ValueError, match="needs the unet base weights"):
+        load_lycoris(_save(tmp_path, t, "g2.safetensors"),
+                     unet_sites=USITES)
+
+
+def test_glora_conv_and_bad_kernels(tmp_path, unet_params):
+    rng = np.random.RandomState(52)
+    key = kohya_key("unet", CONV.name)
+    r = 2
+    kh, kw = CONV.kernel
+    a1 = (0.1 * rng.randn(r, CONV.in_dim, 1, 1)).astype(np.float32)
+    a2 = (0.1 * rng.randn(CONV.in_dim, r, 1, 1)).astype(np.float32)
+    b1 = (0.1 * rng.randn(r, CONV.in_dim, 1, 1)).astype(np.float32)
+    b2 = (0.1 * rng.randn(CONV.out_dim, r, kh, kw)).astype(np.float32)
+    t = {key + ".a1.weight": a1, key + ".a2.weight": a2,
+         key + ".b1.weight": b1, key + ".b2.weight": b2}
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=LSITES,
+                         unet_params=unet_params)
+    w = np.asarray(unet_params[CONV.name + ".weight"],
+                   np.float32).reshape(CONV.out_dim, CONV.in_dim, kh, kw)
+    A = a2[..., 0, 0] @ a1[..., 0, 0]
+    want = (np.einsum("oihw,ij->ojhw", w, A)
+            + np.einsum("orhw,ri->oihw", b2, b1[..., 0, 0]))  # alpha=r
+    np.testing.assert_allclose(np.asarray(lu["sites"][CONV.name]["delta"]),
+                               want, rtol=1e-4, atol=1e-6)
+    # a non-1x1 bottleneck conv is not a GLoRA factorization
+    bad = dict(t)
+    bad[key + ".a1.weight"] = (0.1 * rng.randn(r, CONV.in_dim, 3, 3)).astype(
+        np.float32)
+    with pytest.raises(ValueError, match="1x1"):
+        load_lycoris(_save(tmp_path, bad, "gb.safetensors"),
+                     unet_sites=LSITES, unet_params=unet_params)
+
+
+def test_full_module_diff_and_bias(tmp_path, unet_params):
+    """full modules: `diff` IS the weight delta; `diff_b` rides the tree's
+    param_deltas channel keyed by the flat bias path."""
+    rng = np.random.RandomState(53)
+    key = kohya_key("unet", FF.name)
+    diff = (0.01 * rng.randn(FF.out_dim, FF.in_dim)).astype(np.float32)
+    diff_b = (0.01 * rng.randn(FF.out_dim)).astype(np.float32)
+    t = {key + ".diff": diff, key + ".diff_b": diff_b}
+    assert is_lycoris(list(t))
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=USITES,
+                         unet_params=unet_params)
+    np.testing.assert_allclose(np.asarray(lu["sites"][FF.name]["delta"]),
+                               diff, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(lu["param_deltas"][FF.name + ".bias"],
+                               diff_b, rtol=1e-6)
+    # bias diff on a bias-less site (attn to_q) refuses loudly
+    kq = kohya_key("unet", LIN.name)
+    t2 = {kq + ".diff": (0.01 * rng.randn(LIN.out_dim, LIN.in_dim)).astype(
+        np.float32),
+        kq + ".diff_b": (0.01 * rng.randn(LIN.out_dim)).astype(np.float32)}
+    with pytest.raises(ValueError, match="no bias parameter"):
+        load_lycoris(_save(tmp_path, t2, "f2.safetensors"),
+                     unet_sites=USITES, unet_params=unet_params)
+    # wrong diff shape refuses
+    t3 = {key + ".diff": diff.T.copy()}
+    with pytest.raises(ValueError, match="composes to"):
+        load_lycoris(_save(tmp_path, t3, "f3.safetensors"),
+                     unet_sites=USITES, unet_params=unet_params)
+
+
+def test_norm_module_param_deltas(tmp_path, unet_params):
+    """norm modules (train_norm=True): w_norm/b_norm deltas resolve to the
+    GroupNorm/LayerNorm param paths via the model's own param index."""
+    rng = np.random.RandomState(54)
+    npath = "down_blocks.0.resnets.0.norm1"
+    base = "lora_unet_" + npath.replace(".", "_")
+    c = np.asarray(unet_params[npath + ".weight"]).shape[0]
+    wn = (0.05 * rng.randn(c)).astype(np.float32)
+    bn = (0.05 * rng.randn(c)).astype(np.float32)
+    t = {base + ".w_norm": wn, base + ".b_norm": bn}
+    assert is_lycoris(list(t))
+    lu, _ = load_lycoris(_save(tmp_path, t), unet_sites=USITES,
+                         unet_params=unet_params)
+    assert lu["sites"] == {}
+    np.testing.assert_allclose(lu["param_deltas"][npath + ".weight"], wn)
+    np.testing.assert_allclose(lu["param_deltas"][npath + ".bias"], bn)
+    # needs params to resolve the layer path
+    with pytest.raises(ValueError, match="needs unet_params"):
+        load_lycoris(_save(tmp_path, t, "n2.safetensors"),
+                     unet_sites=USITES)
+    # a base that matches no parameter path refuses
+    t3 = {"lora_unet_nowhere_norm9.w_norm": wn}
+    with pytest.raises(ValueError, match="does not match any unet"):
+        load_lycoris(_save(tmp_path, t3, "n3.safetensors"),
+                     unet_sites=USITES, unet_params=unet_params)
+    # shape mismatch refuses
+    t4 = {base + ".w_norm": wn[:-1]}
+    with pytest.raises(ValueError, match="w_norm"):
+        load_lycoris(_save(tmp_path, t4, "n4.safetensors"),
+                     unet_sites=USITES, unet_params=unet_params)
+
+
+def test_norm_full_modules_pipe_lifecycle(tmp_path):
+    """End-to-end base-delta channel: patch_pipe applies norm w/b deltas
+    and full-module bias diffs to the BASE params; tune_lora_scale lerps
+    them exactly (alpha=0 == unpatched); remove_lora restores originals
+    bit-for-bit; collapse folds at the given alpha and drops the record;
+    re-patching another adapter restores the first one's params."""
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(2), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT)
+    rng = np.random.RandomState(60)
+    npath = "down_blocks.0.resnets.0.norm1"
+    nbase = "lora_unet_" + npath.replace(".", "_")
+    c = np.asarray(pipe.unet_params[npath + ".weight"]).shape[0]
+    wn = (0.3 * rng.randn(c)).astype(np.float32)
+    bn = (0.3 * rng.randn(c)).astype(np.float32)
+    fkey = kohya_key("unet", FF.name)
+    diff = (0.05 * rng.randn(FF.out_dim, FF.in_dim)).astype(np.float32)
+    diff_b = (0.05 * rng.randn(FF.out_dim)).astype(np.float32)
+    p = _save(tmp_path, {nbase + ".w_norm": wn, nbase + ".b_norm": bn,
+                         fkey + ".diff": diff, fkey + ".diff_b": diff_b})
+
+    orig_w = np.asarray(pipe.unet_params[npath + ".weight"]).copy()
+    orig_b = np.asarray(pipe.unet_params[FF.name + ".bias"]).copy()
+    kwargs = dict(num_inference_steps=2, height=64, width=64)
+    base_img = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+
+    pipe.patch_pipe(p)
+    assert pipe.lora_unet is not None  # the full-module weight diff
+    assert set(pipe.lora_unet["sites"]) == {FF.name}
+    assert "param_deltas" not in pipe.lora_unet  # popped into the pipe
+    assert pipe.has_base_deltas("unet")
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig_w + wn,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".bias"]),
+        np.asarray(pipe.base_deltas["unet"]["orig"][npath + ".bias"]) + bn,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[FF.name + ".bias"]), orig_b + diff_b,
+        rtol=1e-6)
+    patched_img = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+    assert np.abs(patched_img - base_img).max() > 1e-4
+
+    # exact lerp: alpha 0 == unpatched forward
+    pipe.tune_lora_scale(0.0)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig_w, rtol=1e-6)
+    zero_img = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(zero_img, base_img, atol=1e-5)
+    pipe.tune_lora_scale(0.5)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig_w + 0.5 * wn,
+        rtol=1e-5)
+
+    # remove restores the base exactly
+    pipe.remove_lora()
+    assert pipe.base_deltas is None
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig_w, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[FF.name + ".bias"]), orig_b, rtol=0)
+    removed_img = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(removed_img, base_img, atol=1e-6)
+
+    # collapse folds at alpha and drops the restore record
+    pipe.patch_pipe(p)
+    collapsed_img_pre = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+    pipe.collapse_lora(1.0)
+    assert pipe.base_deltas is None and pipe.lora_unet is None
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig_w + wn,
+        rtol=1e-6)
+    collapsed_img = pipe("a cat", rng=jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(collapsed_img, collapsed_img_pre, atol=2e-4)
+
+
+def test_norm_deltas_repatch_restores_previous(tmp_path):
+    """Patching adapter B over adapter A first restores A's base-param
+    edits — deltas never stack across patch_pipe calls."""
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(4), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT)
+    npath = "down_blocks.0.resnets.0.norm1"
+    nbase = "lora_unet_" + npath.replace(".", "_")
+    c = np.asarray(pipe.unet_params[npath + ".weight"]).shape[0]
+    orig = np.asarray(pipe.unet_params[npath + ".weight"]).copy()
+    pa = _save(tmp_path, {nbase + ".w_norm": np.full(c, 1.0, np.float32)},
+               "a.safetensors")
+    pb = _save(tmp_path, {nbase + ".w_norm": np.full(c, -2.0, np.float32)},
+               "b.safetensors")
+    pipe.patch_pipe(pa)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig + 1.0,
+        rtol=1e-6)
+    pipe.patch_pipe(pb)  # replaces, does not stack
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig - 2.0,
+        rtol=1e-6)
+    pipe.remove_lora()
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig, rtol=0)
+
+
+def test_norm_module_xl_te2(tmp_path):
+    """SDXL: a norm module under lora_te2_ resolves against te2's params
+    and keys the pipe's base-delta channel on text_encoder_2."""
+    from lora_tpu.models.config import (
+        TINY_VAE,
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    npath = "text_model.encoder.layers.0.layer_norm1"
+    base = "lora_te2_" + npath.replace(".", "_")
+    c = np.asarray(pipe.text2_params[npath + ".weight"]).shape[0]
+    wn = np.full(c, 0.5, np.float32)
+    p = _save(tmp_path, {base + ".w_norm": wn})
+    orig = np.asarray(pipe.text2_params[npath + ".weight"]).copy()
+    c1, p1 = pipe.encode_prompt_xl("a cat")
+    pipe.patch_pipe(p)
+    assert pipe.has_base_deltas("text_encoder_2")
+    assert not pipe.has_base_deltas("text_encoder")
+    np.testing.assert_allclose(
+        np.asarray(pipe.text2_params[npath + ".weight"]), orig + wn,
+        rtol=1e-6)
+    c2, p2 = pipe.encode_prompt_xl("a cat")
+    d1 = TINY_XL_TEXT.hidden_size
+    # te1's half of the context is untouched; te2's half moved
+    np.testing.assert_allclose(np.asarray(c2[..., :d1]),
+                               np.asarray(c1[..., :d1]), atol=1e-6)
+    assert np.abs(np.asarray(c2[..., d1:]) - np.asarray(c1[..., d1:])).max() \
+        > 1e-4
+    pipe.tune_lora_scale(0.0)
+    c0, _ = pipe.encode_prompt_xl("a cat")
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+    pipe.remove_lora()
+    np.testing.assert_allclose(
+        np.asarray(pipe.text2_params[npath + ".weight"]), orig, rtol=0)
