@@ -610,3 +610,28 @@ def test_dreambooth_xl_per_image_time_ids(xl_pipe, tmp_path, monkeypatch):
     db.train_dreambooth(dataclasses.replace(xl_pipe), cfg2)
     rows2 = {tuple(r) for b in captured for r in b}
     assert rows2 == {(64, 64, 0, 0, 64, 64)}
+
+
+def test_dreambooth_xl_geometry_on_mesh(xl_pipe, tmp_path):
+    """The per-image time_ids geometry survives the sharded uncached
+    loader: XL training on a dp=2 x fsdp=2 virtual mesh with mixed-size
+    images runs and stays finite (time_ids_geom flows through
+    device_prefetch's batch sharding and _local_rows)."""
+    import dataclasses
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rs = np.random.RandomState(9)
+    Image.fromarray((rs.rand(80, 120, 3) * 255).astype(np.uint8)).save(
+        d / "wide.jpg")
+    Image.fromarray((rs.rand(120, 80, 3) * 255).astype(np.uint8)).save(
+        d / "tall.jpg")
+    cfg = DreamBoothConfig(
+        instance_data_dir=str(d), output_dir=str(tmp_path / "o"),
+        instance_prompt="a photo of sks dog", resolution=64, lora_rank=2,
+        max_train_steps=2, save_steps=0, output_format="safe", seed=0,
+        data_parallel=True, fsdp=2)
+    res = train_dreambooth(dataclasses.replace(xl_pipe), cfg)
+    assert res["steps"] == 2 and np.isfinite(res["final_loss"])
