@@ -307,7 +307,13 @@ class StableDiffusionPipeline:
         """Load a safetensors LoRA (+TI embeds) into the pipeline.
         Reference patch_pipe, lora.py:958-1022. Files in the kohya-ss /
         webui key schema (lora_unet_*/lora_te_*) are auto-detected and
-        routed through formats/kohya.py."""
+        routed through formats/kohya.py.
+
+        Loading a new adapter file first restores any base-param deltas
+        a previously patched LyCORIS norm/full adapter installed —
+        deltas never stack or leak across patch_pipe calls, whatever
+        format the replacement is."""
+        self._clear_base_deltas()
         with SafetensorsFile(path) as f:
             if any(k.startswith(("lora_unet_", "lora_te_"))
                    for k in f.keys()):
@@ -330,9 +336,7 @@ class StableDiffusionPipeline:
                 if is_lycoris(f.keys()):
                     # LoHa/LoKr/IA3/... factor tensors: per-module
                     # dispatch, full-rank modules load as exact delta
-                    # entries; a replaced adapter's base-param deltas
-                    # (norm/full modules) are restored first
-                    self._clear_base_deltas()
+                    # entries
                     lu, lt = load_lycoris(
                         path, unet_sites=u_sites, text_sites=t_sites,
                         unet_params=self.unet_params,

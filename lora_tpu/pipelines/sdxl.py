@@ -147,10 +147,10 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                    if patch_text else None)
         t2_sites = (text_encoder_locon_sites(self.text2_cfg)
                     if patch_text else None)
+        self._clear_base_deltas()  # a replaced adapter's norm/full deltas
         with SafetensorsFile(path) as f:
             lycoris = is_lycoris(f.keys())
         if lycoris:
-            self._clear_base_deltas()
             lu, lt1, lt2 = load_lycoris_xl(
                 path, unet_cfg=self.unet_cfg, unet_sites=u_sites,
                 text_sites=t_sites, text2_sites=t2_sites,

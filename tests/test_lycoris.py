@@ -911,6 +911,37 @@ def test_norm_deltas_repatch_restores_previous(tmp_path):
         np.asarray(pipe.unet_params[npath + ".weight"]), orig, rtol=0)
 
 
+def test_norm_deltas_cleared_by_plain_lora_repatch(tmp_path):
+    """Replacing a LyCORIS norm adapter with a PLAIN kohya LoRA (no
+    LyCORIS branch) must also restore the previous adapter's base-param
+    edits — the clear cannot live only on the LyCORIS load path."""
+    from lora_tpu.pipelines.sd import StableDiffusionPipeline
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(4), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT)
+    npath = "down_blocks.0.resnets.0.norm1"
+    nbase = "lora_unet_" + npath.replace(".", "_")
+    c = np.asarray(pipe.unet_params[npath + ".weight"]).shape[0]
+    orig = np.asarray(pipe.unet_params[npath + ".weight"]).copy()
+    pa = _save(tmp_path, {nbase + ".w_norm": np.full(c, 1.0, np.float32)},
+               "a.safetensors")
+    rng = np.random.RandomState(7)
+    lkey = kohya_key("unet", LIN.name)
+    pb = _save(tmp_path, {
+        lkey + ".lora_down.weight": rng.randn(2, LIN.in_dim).astype(
+            np.float32),
+        lkey + ".lora_up.weight": rng.randn(LIN.out_dim, 2).astype(
+            np.float32),
+        lkey + ".alpha": np.asarray(2.0, np.float32)}, "b.safetensors")
+    pipe.patch_pipe(pa)
+    assert pipe.has_base_deltas("unet")
+    pipe.patch_pipe(pb)  # plain kohya branch — must still restore
+    assert not pipe.has_base_deltas("unet")
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params[npath + ".weight"]), orig, rtol=0)
+    assert pipe.lora_unet is not None and LIN.name in pipe.lora_unet["sites"]
+
+
 def test_norm_module_xl_te2(tmp_path):
     """SDXL: a norm module under lora_te2_ resolves against te2's params
     and keys the pipe's base-delta channel on text_encoder_2."""
