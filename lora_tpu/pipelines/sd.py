@@ -80,12 +80,24 @@ def _denoise_loop(
     lora_idx: Optional[jax.Array] = None,
     add_text_embeds: Optional[jax.Array] = None,
     add_time_ids: Optional[jax.Array] = None,
+    blend_mask: Optional[jax.Array] = None,
+    blend_z0: Optional[jax.Array] = None,
+    blend_noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Denoise loop under one jit (ddim | pndm | euler | euler_a | dpm++).
     ts: (S,) int32 descending (PNDM: S = steps+1 with warmup duplicate).
     lora_idx: per-sample adapter routing for stacked LoRAs.
     add_text_embeds/add_time_ids: SDXL text_time micro-conditioning, rows
-    aligned with ctx (already uncond+cond-stacked under CFG)."""
+    aligned with ctx (already uncond+cond-stacked under CFG).
+    blend_mask/z0/noise: latent-blend inpainting for plain 4-channel
+    checkpoints — after every scheduler step the kept region
+    (blend_mask == 0, latent resolution) is overwritten with the original
+    latents renoised to the STEPPED-TO noise level (the diffusers legacy /
+    A1111 technique). blend_noise is one fixed draw, so the kept region
+    follows a single consistent diffusion trajectory; the final step blends
+    blend_z0 itself, making kept-region preservation exact in latent
+    space. Not supported for pndm (the warmup duplicate makes the
+    stepped-to level ill-defined)."""
     sched = schedulers.NoiseSchedule(
         num_train_timesteps=1000, alphas_cumprod=sched_alphas,
         final_alpha_cumprod=final_alpha,
@@ -118,17 +130,42 @@ def _denoise_loop(
 
     B = latents.shape[0]
 
+    def blend_t(lat, t_next):
+        """Blend the kept region back in at timestep-parametrized noise
+        level t_next ((B,) int32; < 0 means fully denoised -> z0)."""
+        if blend_mask is None:
+            return lat
+        known = schedulers.add_noise(sched, blend_z0, blend_noise,
+                                     jnp.maximum(t_next, 0))
+        known = jnp.where((t_next < 0)[:, None, None, None], blend_z0, known)
+        return (blend_mask * lat
+                + (1.0 - blend_mask) * known).astype(lat.dtype)
+
+    def blend_sigma(lat, sigma_next):
+        """Same in k-diffusion sigma space: x = z0 + sigma * noise
+        (sigma_next = 0 on the last step -> exactly z0)."""
+        if blend_mask is None:
+            return lat
+        known = blend_z0 + sigma_next.astype(jnp.float32) * blend_noise
+        return (blend_mask * lat
+                + (1.0 - blend_mask) * known).astype(lat.dtype)
+
     if method == "ddim":
         def body(i, lat):
             t = ts[i]
             out = eps_at(lat, t)
-            return schedulers.ddim_step(
+            lat = schedulers.ddim_step(
                 sched, out, jnp.full((B,), t, jnp.int32), lat,
                 jnp.full((B,), t - step_delta, jnp.int32))
+            return blend_t(lat, jnp.full((B,), t - step_delta, jnp.int32))
 
         return jax.lax.fori_loop(0, ts.shape[0], body, latents)
 
     if method == "pndm":
+        if blend_mask is not None:
+            raise ValueError(
+                "latent-blend inpainting is not supported with the pndm "
+                "scheduler (warmup duplicate step); use ddim/euler/dpm++")
         state0 = schedulers.pndm_init_state(latents.shape)
 
         def body(i, carry):
@@ -149,7 +186,8 @@ def _denoise_loop(
             sigma = sigmas[i]
             scaled = schedulers.euler_scale_model_input(lat, sigma)
             out = eps_at(lat, t, scale_in=scaled)
-            return schedulers.euler_step(lat, out, sigma, sigmas[i + 1])
+            lat = schedulers.euler_step(lat, out, sigma, sigmas[i + 1])
+            return blend_sigma(lat, sigmas[i + 1])
 
         return jax.lax.fori_loop(0, ts.shape[0], body, latents)
 
@@ -161,8 +199,9 @@ def _denoise_loop(
             out = eps_at(lat, t, scale_in=scaled)
             noise = jax.random.normal(jax.random.fold_in(noise_rng, i),
                                       lat.shape, jnp.float32)
-            return schedulers.euler_ancestral_step(lat, out, sigma,
-                                                   sigmas[i + 1], noise)
+            lat = schedulers.euler_ancestral_step(lat, out, sigma,
+                                                  sigmas[i + 1], noise)
+            return blend_sigma(lat, sigmas[i + 1])
 
         return jax.lax.fori_loop(0, ts.shape[0], body, latents)
 
@@ -176,12 +215,20 @@ def _denoise_loop(
             out = eps_at(lat, ts[i])
             lat, state = schedulers.dpmpp_step(sched, state, out, ts[i], lat,
                                                ts_next[i])
-            return lat, state
+            return blend_t(lat, jnp.full((B,), ts_next[i], jnp.int32)), state
 
         latents, _ = jax.lax.fori_loop(0, n, body, (latents, state0))
         return latents
 
     raise ValueError(f"unknown scheduler method {method}")
+
+
+def _latent_mask(mask: jax.Array, h: int, w: int, dtype) -> jax.Array:
+    """Nearest-sample a pixel-space (B,H,W,1) mask down to the (B,h,w,1)
+    latent grid."""
+    ys = (jnp.arange(h) * (mask.shape[1] / h)).astype(jnp.int32)
+    xs = (jnp.arange(w) * (mask.shape[2] / w)).astype(jnp.int32)
+    return mask[:, ys][:, :, xs].astype(dtype)
 
 
 @dataclasses.dataclass
@@ -627,9 +674,7 @@ class StableDiffusionPipeline:
         masked_latents = _jit_vae_encode(
             self.vae_params, masked.astype(self.dtype), self.vae_cfg, k_enc)
         h, w = masked_latents.shape[1:3]
-        ys = (jnp.arange(h) * (mask.shape[1] / h)).astype(jnp.int32)
-        xs = (jnp.arange(w) * (mask.shape[2] / w)).astype(jnp.int32)
-        mask_small = mask[:, ys][:, :, xs].astype(self.dtype)
+        mask_small = _latent_mask(mask, h, w, self.dtype)
         extra = jnp.concatenate([mask_small, masked_latents], axis=-1)
 
         latents = jax.random.normal(
@@ -648,4 +693,82 @@ class StableDiffusionPipeline:
             jnp.float32(guidance_scale), ts, self.schedule.alphas_cumprod,
             jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
             num_inference_steps, use_cfg, extra_channels=extra)
+        return self._decode(latents, output_type)
+
+    def inpaint_blend(
+        self,
+        prompt: Union[str, Sequence[str]],
+        image: jax.Array,        # (B,H,W,3) in [-1,1]
+        mask: jax.Array,         # (B,H,W,1) in {0,1}; 1 = repaint
+        strength: float = 0.8,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Union[str, Sequence[str]] = "",
+        rng: Optional[jax.Array] = None,
+        scheduler: str = "ddim",
+        lora_idx: Optional[jax.Array] = None,
+        output_type: str = "np",
+    ):
+        """Latent-blend inpainting for PLAIN 4-channel checkpoints (the
+        diffusers legacy / A1111 technique — no special inpainting UNet
+        needed, unlike inpaint()): start img2img-style from the noised
+        original, and after every scheduler step overwrite the kept region
+        with the original latents renoised to the stepped-to level, so
+        only the masked region is ever resampled. Kept-region preservation
+        is exact in latent space (the last step blends the original
+        latents themselves); pixel-space deviation is bounded by the VAE
+        round-trip. strength semantics match img2img."""
+        assert self.unet_cfg.in_channels == self.unet_cfg.out_channels, (
+            "inpaint_blend() is the technique for plain checkpoints; a "
+            "9-channel inpainting UNet should use inpaint()")
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        self._check_size(image.shape[1], image.shape[2])
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_enc, k_noise = jax.random.split(rng)
+        z0 = _jit_vae_encode(self.vae_params, image.astype(self.dtype),
+                             self.vae_cfg, k_enc)
+        h, w = z0.shape[1:3]
+        mask_small = _latent_mask(mask, h, w, jnp.float32)
+        noise0 = jax.random.normal(k_noise, z0.shape, jnp.float32)
+        ts, sigmas = self._scheduler_arrays(scheduler, num_inference_steps)
+        loop_method = {"euler_karras": "euler",
+                       "euler_a_karras": "euler_a"}.get(scheduler, scheduler)
+        if loop_method == "pndm":
+            raise ValueError(
+                "latent-blend inpainting is not supported with the pndm "
+                "scheduler; use ddim/euler/euler_a/dpm++")
+        t_start = max(
+            num_inference_steps - int(num_inference_steps * strength), 0)
+        ts = ts[t_start:]
+        if ts.shape[0] == 0:
+            raise ValueError(
+                f"strength={strength} leaves zero denoising steps at "
+                f"num_inference_steps={num_inference_steps}")
+        if loop_method in ("euler", "euler_a"):
+            sigmas = sigmas[t_start:]
+            latents = (z0 + sigmas[0].astype(jnp.float32) * noise0
+                       ).astype(self.dtype)
+        else:
+            latents = schedulers.add_noise(
+                self.schedule, z0, noise0,
+                jnp.full((B,), int(ts[0]), jnp.int32)).astype(self.dtype)
+        text_emb = self.encode_prompt(prompts)
+        use_cfg = guidance_scale > 1.0
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                  else text_emb)
+        noise_rng = jax.random.fold_in(rng, 777)
+        latents = _denoise_loop(
+            self.unet_params, self.lora_unet, latents, text_emb, uncond,
+            jnp.float32(guidance_scale), jnp.asarray(ts, jnp.int32),
+            self.schedule.alphas_cumprod,
+            jnp.float32(self.schedule.final_alpha_cumprod), self.unet_cfg,
+            num_inference_steps, use_cfg, method=loop_method, sigmas=sigmas,
+            noise_rng=noise_rng,
+            lora_idx=None if lora_idx is None else jnp.asarray(lora_idx,
+                                                               jnp.int32),
+            blend_mask=mask_small, blend_z0=z0.astype(jnp.float32),
+            blend_noise=noise0)
         return self._decode(latents, output_type)
