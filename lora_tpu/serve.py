@@ -5,7 +5,10 @@ Wraps a StableDiffusionPipeline behind an HTTP API (stdlib-only):
   POST /generate   {"prompt": str | [str], "steps": int, "guidance": float,
                     "height": int, "width": int, "seed": int,
                     "scheduler": str, "alpha": float, "lora_idx": [int],
-                    "deadline_ms": float}
+                    "deadline_ms": float,
+                    "mode": "txt2img" | "img2img" | "inpaint",
+                    "image": base64 PNG | [base64 PNG, ...],
+                    "mask": base64 PNG | [...], "strength": float}
                    -> {"images": [base64 PNG, ...], "latency_ms": float,
                        "batched_with": int}
                    -> 503 {"error": ...} when queued ROWS reach max_queue
@@ -28,6 +31,19 @@ so coalescing converts concurrency into throughput with no quality change.
 The first request per (config, batch-size) pays the XLA compile; later ones
 run at device speed. With a stacked multi-LoRA (core.lora.stack_loras) one
 server serves K adapters.
+
+Image modes: mode="img2img" takes a base64 PNG `image` (its size defines
+the sampling size; one PNG per prompt row, or a single PNG replicated);
+mode="inpaint" additionally takes a same-size `mask` PNG (luma >= 128 =
+repaint) and routes to the pipe's inpainting path (the 9-channel UNet if
+the checkpoint has one, the latent-blend technique otherwise — SDXL is
+always blend). Image modes micro-batch and bucket exactly like txt2img,
+coalescing on (mode, strength, size, steps, guidance, scheduler, alpha);
+their noise (VAE posterior sample + init noise) is drawn batch-wide from
+the FIRST member's seed, so reproducibility is per (seed, batch
+composition) rather than per row. Prompts are encoded inside the pipeline
+call (the embed cache serves txt2img only). img2img and the 9-channel
+inpaint sample with ddim; blend inpainting takes any scheduler but pndm.
 """
 
 from __future__ import annotations
@@ -53,6 +69,45 @@ def _png_b64(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _b64_to_image(b64s, n_rows: int) -> np.ndarray:
+    """Decode base64 PNG(s) to (n_rows, H, W, 3) float32 in [-1,1]. A
+    single string is replicated across rows; a list must carry one entry
+    per prompt row, all the same size (one device batch = one shape)."""
+    from PIL import Image
+
+    items = [b64s] * n_rows if isinstance(b64s, str) else list(b64s)
+    if len(items) != n_rows:
+        raise ValueError(
+            f"'image' carries {len(items)} PNGs for {n_rows} prompt rows")
+    rows = []
+    for s in items:
+        img = Image.open(io.BytesIO(base64.b64decode(s))).convert("RGB")
+        rows.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    if any(r.shape != rows[0].shape for r in rows):
+        raise ValueError("all 'image' PNGs in one request must share a size")
+    return np.stack(rows)
+
+
+def _b64_to_mask(b64s, n_rows: int, hw: tuple) -> np.ndarray:
+    """Decode base64 PNG(s) to a binary (n_rows, H, W, 1) float32 mask
+    (luma >= 128 -> 1.0 = repaint), validated against the image size."""
+    from PIL import Image
+
+    items = [b64s] * n_rows if isinstance(b64s, str) else list(b64s)
+    if len(items) != n_rows:
+        raise ValueError(
+            f"'mask' carries {len(items)} PNGs for {n_rows} prompt rows")
+    rows = []
+    for s in items:
+        img = Image.open(io.BytesIO(base64.b64decode(s))).convert("L")
+        m = (np.asarray(img, np.float32) >= 128.0).astype(np.float32)
+        if m.shape != tuple(hw):
+            raise ValueError(
+                f"mask size {m.shape} does not match image size {tuple(hw)}")
+        rows.append(m[..., None])
+    return np.stack(rows)
+
+
 class ServerOverloaded(Exception):
     """Queue bound exceeded — shed with HTTP 503 instead of queueing into
     certain deadline misses."""
@@ -73,6 +128,25 @@ class _Pending:
         # absolute latency budget; None = no deadline (fixed-window only)
         d = req.get("deadline_ms")
         self.deadline = self.t0 + float(d) / 1000.0 if d is not None else None
+        self.mode = req.get("mode", "txt2img")
+        if self.mode not in ("txt2img", "img2img", "inpaint"):
+            raise ValueError(f"unknown mode {self.mode!r}; expected "
+                             "txt2img | img2img | inpaint")
+        self.image = self.mask = None
+        if self.mode != "txt2img":
+            if req.get("image") is None:
+                raise ValueError(
+                    f"mode {self.mode!r} requires a base64 PNG 'image'")
+            self.image = _b64_to_image(req["image"], self.n_rows)
+            # the init image defines the sampling size; key() groups by it
+            req["height"] = int(self.image.shape[1])
+            req["width"] = int(self.image.shape[2])
+            if self.mode == "inpaint":
+                if req.get("mask") is None:
+                    raise ValueError(
+                        "mode 'inpaint' requires a base64 PNG 'mask'")
+                self.mask = _b64_to_mask(req["mask"], self.n_rows,
+                                         self.image.shape[1:3])
 
     def key(self):
         r = self.req
@@ -80,7 +154,10 @@ class _Pending:
                 int(r.get("height", 512)), int(r.get("width", 512)),
                 r.get("scheduler", "ddim"), r.get("alpha"),
                 r.get("negative_prompt", ""),
-                r.get("lora_idx") is not None)
+                r.get("lora_idx") is not None,
+                self.mode,
+                (float(r.get("strength", 0.8))
+                 if self.mode != "txt2img" else None))
 
 
 class PipelineServer:
@@ -202,6 +279,7 @@ class PipelineServer:
             raise ValueError(
                 f"prompt list of {pending.n_rows} exceeds max_batch "
                 f"{self.max_batch}; split the request")
+        self._check_image_mode(pending)
         with self._shed_lock:
             if self.draining:
                 self.shed_count += 1
@@ -226,6 +304,32 @@ class PipelineServer:
         return {"images": [_png_b64(im) for im in pending.images],
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
                 "batched_with": pending.batched_with}
+
+    def _check_image_mode(self, pending: "_Pending") -> None:
+        """Reject image-mode requests whose sampler the routed pipeline
+        path cannot honor, at admit time (400) rather than mid-batch."""
+        if pending.mode == "txt2img":
+            return
+        # reject sizes the UNet can't round-trip before they join a batch
+        self.pipe._check_size(int(pending.image.shape[1]),
+                              int(pending.image.shape[2]))
+        sched = pending.req.get("scheduler", "ddim")
+        nine_ch = (not self._is_xl
+                   and self.pipe.unet_cfg.in_channels
+                   != self.pipe.unet_cfg.out_channels)
+        if pending.mode == "img2img" and sched != "ddim":
+            raise ValueError("img2img serving samples with ddim only")
+        if pending.mode == "inpaint":
+            if nine_ch:
+                if sched != "ddim":
+                    raise ValueError(
+                        "9-channel inpainting serving samples with ddim only")
+                if pending.req.get("lora_idx") is not None:
+                    raise ValueError("lora_idx routing is not supported on "
+                                     "the 9-channel inpainting path")
+            elif sched == "pndm":
+                raise ValueError("latent-blend inpainting does not support "
+                                 "the pndm scheduler")
 
     # -- micro-batching worker ----------------------------------------------
     def _window_remaining(self, group, window_end: float) -> float:
@@ -336,6 +440,9 @@ class PipelineServer:
         import jax
         import jax.numpy as jnp
 
+        if group[0].mode != "txt2img":
+            self._run_image_group(group)
+            return
         r0 = group[0].req
         height, width = int(r0.get("height", 512)), int(r0.get("width", 512))
         prompts, latents, counts = [], [], []
@@ -410,6 +517,94 @@ class PipelineServer:
                 prompt_embeds=emb,
                 negative_prompt_embeds=neg,
             )
+        off = 0
+        for p, n in zip(group, counts):
+            p.images = imgs[off:off + n]
+            off += n
+
+    def _run_image_group(self, group: list):
+        """img2img / inpaint micro-batch: rows are (prompt, image[, mask])
+        triples, coalesced and bucket-padded exactly like txt2img (key()
+        adds mode + strength, and the init image pins height/width). The
+        group's randomness (VAE posterior sample + init noise) is drawn
+        batch-wide from the FIRST member's seed — per-row exact seeding
+        would need per-row posterior draws the pipelines don't expose, so
+        image-mode reproducibility is per (seed, batch composition).
+        Prompts are encoded inside the pipeline call; the embed cache is
+        txt2img-only."""
+        import jax
+        import jax.numpy as jnp
+
+        r0 = group[0].req
+        mode = group[0].mode
+        prompts, images, masks, counts = [], [], [], []
+        lora_idx: Optional[list] = []
+        for p in group:
+            pr = p.req.get("prompt", "")
+            pr = [pr] if isinstance(pr, str) else list(pr)
+            prompts += pr
+            counts.append(len(pr))
+            images.append(p.image)
+            if p.mask is not None:
+                masks.append(p.mask)
+            li = p.req.get("lora_idx")
+            if lora_idx is not None and li is not None:
+                lora_idx += [int(i) for i in (li if isinstance(li, list)
+                                              else [li] * len(pr))]
+            else:
+                lora_idx = None
+        n_real = len(prompts)
+        bucket = next((b for b in self.batch_buckets if b >= n_real), n_real)
+        self.last_device_batch = bucket
+        pad = bucket - n_real
+        imgs_np = np.concatenate(images, 0)
+        masks_np = np.concatenate(masks, 0) if masks else None
+        if pad:
+            prompts += [prompts[-1]] * pad
+            imgs_np = np.concatenate(
+                [imgs_np, np.repeat(imgs_np[-1:], pad, 0)], 0)
+            if masks_np is not None:
+                masks_np = np.concatenate(
+                    [masks_np, np.repeat(masks_np[-1:], pad, 0)], 0)
+            if lora_idx is not None:
+                lora_idx += [lora_idx[-1]] * pad
+        steps = int(r0.get("steps", 30))
+        guidance = float(r0.get("guidance", 7.5))
+        negative = r0.get("negative_prompt", "")
+        strength = float(r0.get("strength", 0.8))
+        scheduler = r0.get("scheduler", "ddim")
+        rng = jax.random.PRNGKey(int(r0.get("seed", 0)))
+        image_dev = jnp.asarray(imgs_np)
+        mask_dev = None if masks_np is None else jnp.asarray(masks_np)
+        with self.lock:
+            alpha = r0.get("alpha")
+            if alpha is not None:
+                self.pipe.tune_lora_scale(float(alpha))
+                self._current_alpha = float(alpha)
+            if mode == "img2img":
+                imgs = self.pipe.img2img(
+                    prompts, image_dev, strength=strength,
+                    num_inference_steps=steps, guidance_scale=guidance,
+                    negative_prompt=negative, rng=rng, lora_idx=lora_idx)
+            elif (not self._is_xl
+                  and self.pipe.unet_cfg.in_channels
+                  != self.pipe.unet_cfg.out_channels):
+                imgs = self.pipe.inpaint(
+                    prompts, image_dev, mask_dev,
+                    num_inference_steps=steps, guidance_scale=guidance,
+                    negative_prompt=negative, rng=rng)
+            elif self._is_xl:
+                imgs = self.pipe.inpaint(
+                    prompts, image_dev, mask_dev, strength=strength,
+                    num_inference_steps=steps, guidance_scale=guidance,
+                    negative_prompt=negative, rng=rng, scheduler=scheduler,
+                    lora_idx=lora_idx)
+            else:
+                imgs = self.pipe.inpaint_blend(
+                    prompts, image_dev, mask_dev, strength=strength,
+                    num_inference_steps=steps, guidance_scale=guidance,
+                    negative_prompt=negative, rng=rng, scheduler=scheduler,
+                    lora_idx=lora_idx)
         off = 0
         for p, n in zip(group, counts):
             p.images = imgs[off:off + n]

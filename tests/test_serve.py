@@ -598,3 +598,197 @@ def test_xl_te2_lora_keys_embed_cache(tmp_path):
         assert out0["images"] == base_out["images"]
     finally:
         srv.stop()
+
+
+# -- image modes: img2img / inpaint ------------------------------------------
+
+def _png_payload(arr_uint8):
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.asarray(arr_uint8, np.uint8)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _rand_image_png(seed=11, h=64, w=64):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return _png_payload(rs.randint(0, 256, (h, w, 3), dtype=np.uint8))
+
+
+def _mask_png(h=64, w=64, repaint_right=True):
+    import numpy as np
+
+    m = np.zeros((h, w), np.uint8)
+    if repaint_right:
+        m[:, w // 2:] = 255
+    return _png_payload(m)
+
+
+def test_img2img_serving(server):
+    img = _rand_image_png()
+    payload = {"mode": "img2img", "prompt": "a tiny tree", "image": img,
+               "steps": 2, "strength": 1.0, "seed": 3}
+    out, status = _post(server, payload)
+    assert status == 200 and len(out["images"]) == 1
+    png = base64.b64decode(out["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # a single-request group is fully seed-deterministic
+    out2, _ = _post(server, payload)
+    assert out["images"] == out2["images"]
+
+
+def test_inpaint_serving_keep_all_matches_roundtrip(server):
+    """An all-keep mask (latent-blend path on a plain 4-channel pipe)
+    returns decode(encode(image)) exactly, up to PNG 8-bit truncation."""
+    import io as _io
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from lora_tpu.pipelines.sd import _jit_vae_encode
+
+    rs = np.random.RandomState(5)
+    arr = rs.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    payload = {"mode": "inpaint", "prompt": "x", "image": _png_payload(arr),
+               "mask": _png_payload(np.zeros((64, 64), np.uint8)),
+               "steps": 2, "guidance": 1.0, "seed": 9}
+    out, status = _post(server, payload)
+    assert status == 200
+    got = np.asarray(Image.open(_io.BytesIO(base64.b64decode(
+        out["images"][0]))), np.float32) / 255.0
+    # expected: the VAE roundtrip under the server's rng derivation
+    # (group rng = PRNGKey(seed); inpaint_blend splits k_enc first)
+    image = jnp.asarray(arr.astype(np.float32) / 127.5 - 1.0)[None]
+    k_enc, _ = jax.random.split(jax.random.PRNGKey(9))
+    z0 = _jit_vae_encode(server.pipe.vae_params,
+                         image.astype(server.pipe.dtype),
+                         server.pipe.vae_cfg, k_enc)
+    expect = server.pipe._decode(z0)[0]
+    assert np.abs(got - expect).max() <= 1.0 / 255.0 + 1e-6
+
+
+def test_image_mode_coalescing(server):
+    """Concurrent same-config img2img requests coalesce into one device
+    batch; txt2img can never merge with an image mode (key() carries the
+    mode)."""
+    import threading
+
+    from lora_tpu.serve import _Pending
+
+    img = _rand_image_png()
+    results = {}
+
+    def fire(name, seed):
+        out, status = _post(server, {"mode": "img2img", "prompt": "t",
+                                     "image": img, "steps": 2,
+                                     "strength": 1.0, "seed": seed})
+        results[name] = (out, status)
+
+    lead = threading.Thread(target=fire, args=("lead", 0))
+    lead.start()
+    time.sleep(0.3)
+    followers = [threading.Thread(target=fire, args=(f"f{i}", i + 1))
+                 for i in range(2)]
+    for t in followers:
+        t.start()
+    for t in [lead] + followers:
+        t.join()
+    assert all(s == 200 for _, s in results.values())
+    assert max(out["batched_with"] for out, _ in results.values()) >= 2
+    # different seeds inside one batch -> different images
+    assert (results["f0"][0]["images"][0]
+            != results["f1"][0]["images"][0])
+    assert (_Pending({"prompt": "t"}).key()
+            != _Pending({"mode": "img2img", "prompt": "t",
+                         "image": img}).key())
+
+
+def _expect_400(server, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps(payload).encode())
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        return False
+    except urllib.error.HTTPError as e:
+        return e.code == 400
+
+
+def test_image_mode_rejections(server):
+    img = _rand_image_png()
+    assert _expect_400(server, {"mode": "paint-by-numbers", "prompt": "x"})
+    assert _expect_400(server, {"mode": "img2img", "prompt": "x"})  # no image
+    assert _expect_400(server, {"mode": "inpaint", "prompt": "x",
+                                "image": img})  # no mask
+    assert _expect_400(server, {"mode": "inpaint", "prompt": "x",
+                                "image": img,
+                                "mask": _mask_png(32, 32)})  # size mismatch
+    assert _expect_400(server, {"mode": "img2img", "prompt": "x",
+                                "image": img,
+                                "scheduler": "euler"})  # ddim-only
+    assert _expect_400(server, {"mode": "inpaint", "prompt": "x",
+                                "image": img, "mask": _mask_png(),
+                                "scheduler": "pndm"})  # blend rejects pndm
+    assert _expect_400(server, {"mode": "img2img", "prompt": "x",
+                                "image": _rand_image_png(h=40, w=40)})
+    # image list length must match prompt rows
+    assert _expect_400(server, {"mode": "img2img", "prompt": ["a", "b"],
+                                "image": [img]})
+
+
+def test_xl_inpaint_serving_routes_blend():
+    from lora_tpu.models.config import (
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0)
+    try:
+        out = srv.generate({"mode": "inpaint", "prompt": "a dog",
+                            "image": _rand_image_png(),
+                            "mask": _mask_png(), "steps": 2,
+                            "guidance": 5.0, "seed": 1})
+        assert len(out["images"]) == 1
+        png = base64.b64decode(out["images"][0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.stop()
+
+
+def test_nine_channel_inpaint_serving_routes_unet_path():
+    import dataclasses
+
+    import numpy as np
+
+    inpaint_cfg = dataclasses.replace(TINY_UNET, in_channels=9)
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=inpaint_cfg, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0)
+    try:
+        out = srv.generate({"mode": "inpaint", "prompt": "a dog",
+                            "image": _rand_image_png(),
+                            "mask": _mask_png(), "steps": 2, "seed": 1})
+        assert len(out["images"]) == 1
+        # the 9-channel path takes no lora_idx — rejected at admit
+        try:
+            srv.generate({"mode": "inpaint", "prompt": "x",
+                          "image": _rand_image_png(), "mask": _mask_png(),
+                          "steps": 2, "lora_idx": [0]})
+            rejected = False
+        except ValueError:
+            rejected = True
+        assert rejected
+    finally:
+        srv.stop()
