@@ -1,8 +1,8 @@
 """Execute the examples/ demo scripts end to end (tiny mode).
 
-The four notebook-parity demos + the multi-LoRA serving demo are user-facing
-surface; without these smoke runs they could rot silently while the suite
-stays green. Each script's --tiny switch random-inits the CPU unit-test
+The notebook-parity demos + the multi-LoRA serving and inpainting demos are
+user-facing surface; without these smoke runs they could rot silently while
+the suite stays green. Each script's --tiny switch random-inits the CPU unit-test
 pipeline (examples/_common.py), so the full argparse -> pipeline -> sampling
 -> image-artifact path executes in-process-per-script via subprocess."""
 
@@ -113,3 +113,20 @@ def test_serve_multi_lora_runs(lora_files, tmp_path):
                   "--prompts", "a dog|a cat", "--route", "0,1", "--out", out)
     assert os.path.exists(out)
     assert "2 prompts across 2 adapters" in stdout
+
+
+def test_inpaint_lora_runs(lora_files, tmp_path):
+    from PIL import Image
+
+    init = str(tmp_path / "photo.png")
+    Image.fromarray(np.full((64, 64, 3), 120, np.uint8)).save(init)
+    mask = str(tmp_path / "hole.png")
+    m = np.zeros((64, 64), np.uint8)
+    m[:, 32:] = 255
+    Image.fromarray(m).save(mask)
+    out = str(tmp_path / "inpaint.png")
+    stdout = _run("inpaint_lora.py", "--tiny", "--size", "64", "--steps", "3",
+                  "--lora", lora_files[0], "--image", init, "--mask", mask,
+                  "--scheduler", "dpm++", "--out", out)
+    assert os.path.exists(out)
+    assert "latent-blend" in stdout
