@@ -505,6 +505,29 @@ class StableDiffusionPipeline:
                 f"({len(self.unet_cfg.block_out_channels)} levels); got "
                 f"{height}x{width}")
 
+    def _resolve_cond(self, prompt, negative_prompt, use_cfg,
+                      prompt_embeds=None, negative_prompt_embeds=None):
+        """(text_emb, uncond, B) from prompt strings or precomputed
+        embeddings (the serving endpoint's embed-cache passthrough; when
+        prompt_embeds is given, prompt strings are ignored)."""
+        if prompt_embeds is not None:
+            text_emb = jnp.asarray(prompt_embeds, self.dtype)
+            if use_cfg and negative_prompt_embeds is None:
+                raise ValueError(
+                    "negative_prompt_embeds required with prompt_embeds "
+                    "when guidance_scale > 1")
+            uncond = (jnp.asarray(negative_prompt_embeds, self.dtype)
+                      if use_cfg else text_emb)
+            return text_emb, uncond, int(text_emb.shape[0])
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        text_emb = self.encode_prompt(prompts)
+        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
+                  else text_emb)
+        return text_emb, uncond, B
+
     # -- sampling -----------------------------------------------------------
     def _scheduler_arrays(self, method: str, num_inference_steps: int):
         if method == "ddim":
@@ -553,25 +576,9 @@ class StableDiffusionPipeline:
         output_type: str = "np",
     ):
         use_cfg = guidance_scale > 1.0
-        if prompt_embeds is not None:
-            # precomputed text conditioning (e.g. the serving endpoint's
-            # embedding cache); prompt strings are ignored
-            text_emb = jnp.asarray(prompt_embeds, self.dtype)
-            B = text_emb.shape[0]
-            if use_cfg and negative_prompt_embeds is None:
-                raise ValueError(
-                    "negative_prompt_embeds required with prompt_embeds "
-                    "when guidance_scale > 1")
-            uncond = (jnp.asarray(negative_prompt_embeds, self.dtype)
-                      if use_cfg else text_emb)
-        else:
-            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-            B = len(prompts)
-            if isinstance(negative_prompt, str):
-                negative_prompt = [negative_prompt] * B
-            text_emb = self.encode_prompt(prompts)
-            uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
-                      else text_emb)
+        text_emb, uncond, B = self._resolve_cond(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         if latents is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             latents = self.prepare_latents(B, height, width, rng)
@@ -616,10 +623,14 @@ class StableDiffusionPipeline:
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
         lora_idx: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
         output_type: str = "np",
     ):
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
+        use_cfg = guidance_scale > 1.0
+        text_emb, uncond, B = self._resolve_cond(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         self._check_size(init_image.shape[1], init_image.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_noise = jax.random.split(rng)
@@ -631,12 +642,6 @@ class StableDiffusionPipeline:
         noise = jax.random.normal(k_noise, z.shape, z.dtype)
         z = schedulers.add_noise(self.schedule, z, noise,
                                  jnp.full((B,), int(ts[0]), jnp.int32))
-        text_emb = self.encode_prompt(prompts)
-        use_cfg = guidance_scale > 1.0
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
-                  else text_emb)
         latents = _denoise_loop(
             self.unet_params, self.lora_unet, z, text_emb, uncond,
             jnp.float32(guidance_scale), jnp.asarray(ts, jnp.int32),
@@ -656,6 +661,8 @@ class StableDiffusionPipeline:
         guidance_scale: float = 7.5,
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
         output_type: str = "np",
     ):
         """9-channel SD-inpainting sampling (runwayml/sd-inpainting layout):
@@ -665,8 +672,10 @@ class StableDiffusionPipeline:
         assert self.unet_cfg.in_channels == 9, (
             "inpaint() needs an inpainting UNet (in_channels=9), got "
             f"{self.unet_cfg.in_channels}")
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
+        use_cfg = guidance_scale > 1.0
+        text_emb, uncond, B = self._resolve_cond(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         self._check_size(image.shape[1], image.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_lat = jax.random.split(rng)
@@ -679,12 +688,6 @@ class StableDiffusionPipeline:
 
         latents = jax.random.normal(
             k_lat, (B, h, w, self.unet_cfg.out_channels), self.dtype)
-        text_emb = self.encode_prompt(prompts)
-        use_cfg = guidance_scale > 1.0
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
-                  else text_emb)
         ts = jnp.asarray(
             schedulers.ddim_timesteps(self.schedule, num_inference_steps),
             jnp.int32)
@@ -707,6 +710,8 @@ class StableDiffusionPipeline:
         rng: Optional[jax.Array] = None,
         scheduler: str = "ddim",
         lora_idx: Optional[jax.Array] = None,
+        prompt_embeds: Optional[jax.Array] = None,
+        negative_prompt_embeds: Optional[jax.Array] = None,
         output_type: str = "np",
     ):
         """Latent-blend inpainting for PLAIN 4-channel checkpoints (the
@@ -721,8 +726,10 @@ class StableDiffusionPipeline:
         assert self.unet_cfg.in_channels == self.unet_cfg.out_channels, (
             "inpaint_blend() is the technique for plain checkpoints; a "
             "9-channel inpainting UNet should use inpaint()")
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
+        use_cfg = guidance_scale > 1.0
+        text_emb, uncond, B = self._resolve_cond(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         self._check_size(image.shape[1], image.shape[2])
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_enc, k_noise = jax.random.split(rng)
@@ -753,12 +760,6 @@ class StableDiffusionPipeline:
             latents = schedulers.add_noise(
                 self.schedule, z0, noise0,
                 jnp.full((B,), int(ts[0]), jnp.int32)).astype(self.dtype)
-        text_emb = self.encode_prompt(prompts)
-        use_cfg = guidance_scale > 1.0
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        uncond = (self.encode_prompt(list(negative_prompt)) if use_cfg
-                  else text_emb)
         noise_rng = jax.random.fold_in(rng, 777)
         latents = _denoise_loop(
             self.unet_params, self.lora_unet, latents, text_emb, uncond,

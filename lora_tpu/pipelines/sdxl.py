@@ -214,6 +214,42 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             target_size)
         return jnp.asarray(np.tile(np.asarray(row, np.float32), (B, 1)))
 
+    def _resolve_cond_xl(self, prompt, negative_prompt, use_cfg,
+                         prompt_embeds=None, negative_prompt_embeds=None):
+        """(text_emb, uncond, add_text, B) from prompt strings or
+        precomputed (context, pooled) pairs (the serving endpoint's
+        embed-cache passthrough; when prompt_embeds is given, prompt
+        strings are ignored). add_text is the text_time pooled row,
+        uncond+cond-stacked under CFG."""
+        if prompt_embeds is not None:
+            text_emb, pooled = (jnp.asarray(e, self.dtype)
+                                for e in prompt_embeds)
+            if use_cfg:
+                if negative_prompt_embeds is None:
+                    raise ValueError(
+                        "negative_prompt_embeds required with "
+                        "prompt_embeds when guidance_scale > 1")
+                uncond, uncond_pooled = (jnp.asarray(e, self.dtype)
+                                         for e in negative_prompt_embeds)
+                add_text = jnp.concatenate([uncond_pooled, pooled], 0)
+            else:
+                uncond = text_emb
+                add_text = pooled
+            return text_emb, uncond, add_text, int(text_emb.shape[0])
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        B = len(prompts)
+        if isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * B
+        text_emb, pooled = self.encode_prompt_xl(prompts)
+        if use_cfg:
+            uncond, uncond_pooled = self.encode_prompt_xl(
+                list(negative_prompt))
+            add_text = jnp.concatenate([uncond_pooled, pooled], 0)
+        else:
+            uncond = text_emb
+            add_text = pooled
+        return text_emb, uncond, add_text, B
+
     # -- sampling ------------------------------------------------------------
     def __call__(
         self,
@@ -236,37 +272,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         output_type: str = "np",
     ):
         use_cfg = guidance_scale > 1.0
-        if prompt_embeds is not None:
-            # precomputed dual-encoder conditioning (the serving endpoint's
-            # embedding cache): (context (B,77,2048), te2 pooled (B,proj));
-            # prompt strings are ignored
-            text_emb, pooled = (jnp.asarray(e, self.dtype)
-                                for e in prompt_embeds)
-            B = text_emb.shape[0]
-            if use_cfg:
-                if negative_prompt_embeds is None:
-                    raise ValueError(
-                        "negative_prompt_embeds required with "
-                        "prompt_embeds when guidance_scale > 1")
-                uncond, uncond_pooled = (jnp.asarray(e, self.dtype)
-                                         for e in negative_prompt_embeds)
-                add_text = jnp.concatenate([uncond_pooled, pooled], 0)
-            else:
-                uncond = text_emb
-                add_text = pooled
-        else:
-            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-            B = len(prompts)
-            if isinstance(negative_prompt, str):
-                negative_prompt = [negative_prompt] * B
-            text_emb, pooled = self.encode_prompt_xl(prompts)
-            if use_cfg:
-                uncond, uncond_pooled = self.encode_prompt_xl(
-                    list(negative_prompt))
-                add_text = jnp.concatenate([uncond_pooled, pooled], 0)
-            else:
-                uncond = text_emb
-                add_text = pooled
+        text_emb, uncond, add_text, B = self._resolve_cond_xl(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         time_ids = self._time_ids(
             add_text.shape[0], height, width, original_size,
             crops_coords_top_left, target_size)
@@ -305,10 +313,14 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         negative_prompt: Union[str, Sequence[str]] = "",
         rng: Optional[jax.Array] = None,
         lora_idx: Optional[jax.Array] = None,
+        prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
+        negative_prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
         output_type: str = "np",
     ):
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
+        use_cfg = guidance_scale > 1.0
+        text_emb, uncond, add_text, B = self._resolve_cond_xl(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         H, W = int(init_image.shape[1]), int(init_image.shape[2])
         self._check_size(H, W)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -323,17 +335,6 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         noise = jax.random.normal(k_noise, z.shape, z.dtype)
         z = schedulers.add_noise(self.schedule, z, noise,
                                  jnp.full((B,), int(ts[0]), jnp.int32))
-        use_cfg = guidance_scale > 1.0
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        text_emb, pooled = self.encode_prompt_xl(prompts)
-        if use_cfg:
-            uncond, uncond_pooled = self.encode_prompt_xl(
-                list(negative_prompt))
-            add_text = jnp.concatenate([uncond_pooled, pooled], 0)
-        else:
-            uncond = text_emb
-            add_text = pooled
         time_ids = self._time_ids(add_text.shape[0], H, W, None, (0, 0),
                                   None)
         latents = _denoise_loop(
@@ -360,6 +361,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         rng: Optional[jax.Array] = None,
         scheduler: str = "ddim",
         lora_idx: Optional[jax.Array] = None,
+        prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
+        negative_prompt_embeds: Optional[Tuple[jax.Array, jax.Array]] = None,
         output_type: str = "np",
     ):
         """SDXL latent-blend inpainting with the standard 4-channel
@@ -371,8 +374,10 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         exact in latent space. strength semantics match img2img."""
         from .sd import _latent_mask
 
-        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
-        B = len(prompts)
+        use_cfg = guidance_scale > 1.0
+        text_emb, uncond, add_text, B = self._resolve_cond_xl(
+            prompt, negative_prompt, use_cfg, prompt_embeds,
+            negative_prompt_embeds)
         H, W = int(image.shape[1]), int(image.shape[2])
         self._check_size(H, W)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -404,17 +409,6 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             latents = schedulers.add_noise(
                 self.schedule, z0, noise0,
                 jnp.full((B,), int(ts[0]), jnp.int32)).astype(self.dtype)
-        use_cfg = guidance_scale > 1.0
-        if isinstance(negative_prompt, str):
-            negative_prompt = [negative_prompt] * B
-        text_emb, pooled = self.encode_prompt_xl(prompts)
-        if use_cfg:
-            uncond, uncond_pooled = self.encode_prompt_xl(
-                list(negative_prompt))
-            add_text = jnp.concatenate([uncond_pooled, pooled], 0)
-        else:
-            uncond = text_emb
-            add_text = pooled
         time_ids = self._time_ids(add_text.shape[0], H, W, None, (0, 0),
                                   None)
         noise_rng = jax.random.fold_in(rng, 777)

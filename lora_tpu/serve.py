@@ -41,9 +41,10 @@ always blend). Image modes micro-batch and bucket exactly like txt2img,
 coalescing on (mode, strength, size, steps, guidance, scheduler, alpha);
 their noise (VAE posterior sample + init noise) is drawn batch-wide from
 the FIRST member's seed, so reproducibility is per (seed, batch
-composition) rather than per row. Prompts are encoded inside the pipeline
-call (the embed cache serves txt2img only). img2img and the 9-channel
-inpaint sample with ddim; blend inpainting takes any scheduler but pndm.
+composition) rather than per row. Prompt conditioning comes from the same
+embed cache as txt2img (prompt_embeds passthrough on every image-mode
+pipeline call). img2img and the 9-channel inpaint sample with ddim; blend
+inpainting takes any scheduler but pndm.
 """
 
 from __future__ import annotations
@@ -436,6 +437,27 @@ class PipelineServer:
                     np.stack([r[1] for r in rows]))
         return np.stack(rows)
 
+    def _embed_key_alpha(self):
+        """The embed cache's alpha key component. It uses the EFFECTIVE
+        scale, not the request field: a request that omits alpha runs at
+        whatever scale the pipe was last tuned to, and with a text-encoder
+        LoRA patched the embeddings depend on it (keying on the raw
+        request value served stale embeddings after an alpha change).
+        Without a text LoRA the embeddings are scale-independent — one
+        entry. The adapter generation invalidates entries when the pipe's
+        LoRA/TI weights change by means other than tune_lora_scale (e.g.
+        patch_pipe on a live server swaps the adapter at the same alpha —
+        the old embeddings are stale). Caller holds the pipe lock."""
+        gen = getattr(self.pipe, "adapter_generation", 0)
+        has_text_lora = (self.pipe.lora_text is not None
+                         or getattr(self.pipe, "lora_text2", None)
+                         is not None
+                         # LyCORIS norm/full modules patch text BASE
+                         # params alpha-dependently (pipe.base_deltas)
+                         or self.pipe.has_base_deltas("text_encoder")
+                         or self.pipe.has_base_deltas("text_encoder_2"))
+        return (gen, self._current_alpha) if has_text_lora else (gen, None)
+
     def _run_group(self, group: list):
         import jax
         import jax.numpy as jnp
@@ -482,29 +504,9 @@ class PipelineServer:
             if alpha is not None:
                 self.pipe.tune_lora_scale(float(alpha))
                 self._current_alpha = float(alpha)
-            # cache key uses the EFFECTIVE scale, not the request field: a
-            # request that omits alpha runs at whatever scale the pipe was
-            # last tuned to, and with a text-encoder LoRA patched the
-            # embeddings depend on it (keying on the raw request value
-            # served stale embeddings after an alpha change). Without a
-            # text LoRA the embeddings are scale-independent — one entry.
-            # the adapter generation invalidates entries when the pipe's
-            # LoRA/TI weights change by means other than tune_lora_scale
-            # (e.g. patch_pipe on a live server swaps the adapter at the
-            # same alpha — the old embeddings are stale)
-            gen = getattr(self.pipe, "adapter_generation", 0)
-            has_text_lora = (self.pipe.lora_text is not None
-                             or getattr(self.pipe, "lora_text2", None)
-                             is not None
-                             # LyCORIS norm/full modules patch text BASE
-                             # params alpha-dependently (pipe.base_deltas)
-                             or self.pipe.has_base_deltas("text_encoder")
-                             or self.pipe.has_base_deltas("text_encoder_2")
-                             )
-            key_alpha = ((gen, self._current_alpha)
-                         if has_text_lora else (gen, None))
-            emb = self._cached_embeds(prompts, key_alpha)
-            neg = (self._cached_embeds([negative] * len(prompts), key_alpha)
+            emb = self._cached_embeds(prompts, self._embed_key_alpha())
+            neg = (self._cached_embeds([negative] * len(prompts),
+                                       self._embed_key_alpha())
                    if guidance > 1.0 else None)
             imgs = self.pipe(
                 None,
@@ -530,8 +532,8 @@ class PipelineServer:
         batch-wide from the FIRST member's seed — per-row exact seeding
         would need per-row posterior draws the pipelines don't expose, so
         image-mode reproducibility is per (seed, batch composition).
-        Prompts are encoded inside the pipeline call; the embed cache is
-        txt2img-only."""
+        Prompt conditioning comes from the same embed cache as txt2img
+        (prompt_embeds passthrough on every image-mode pipeline call)."""
         import jax
         import jax.numpy as jnp
 
@@ -581,30 +583,35 @@ class PipelineServer:
             if alpha is not None:
                 self.pipe.tune_lora_scale(float(alpha))
                 self._current_alpha = float(alpha)
+            emb = self._cached_embeds(prompts, self._embed_key_alpha())
+            neg = (self._cached_embeds([negative] * len(prompts),
+                                       self._embed_key_alpha())
+                   if guidance > 1.0 else None)
             if mode == "img2img":
                 imgs = self.pipe.img2img(
-                    prompts, image_dev, strength=strength,
+                    None, image_dev, strength=strength,
                     num_inference_steps=steps, guidance_scale=guidance,
-                    negative_prompt=negative, rng=rng, lora_idx=lora_idx)
+                    rng=rng, lora_idx=lora_idx, prompt_embeds=emb,
+                    negative_prompt_embeds=neg)
             elif (not self._is_xl
                   and self.pipe.unet_cfg.in_channels
                   != self.pipe.unet_cfg.out_channels):
                 imgs = self.pipe.inpaint(
-                    prompts, image_dev, mask_dev,
+                    None, image_dev, mask_dev,
                     num_inference_steps=steps, guidance_scale=guidance,
-                    negative_prompt=negative, rng=rng)
+                    rng=rng, prompt_embeds=emb, negative_prompt_embeds=neg)
             elif self._is_xl:
                 imgs = self.pipe.inpaint(
-                    prompts, image_dev, mask_dev, strength=strength,
+                    None, image_dev, mask_dev, strength=strength,
                     num_inference_steps=steps, guidance_scale=guidance,
-                    negative_prompt=negative, rng=rng, scheduler=scheduler,
-                    lora_idx=lora_idx)
+                    rng=rng, scheduler=scheduler, lora_idx=lora_idx,
+                    prompt_embeds=emb, negative_prompt_embeds=neg)
             else:
                 imgs = self.pipe.inpaint_blend(
-                    prompts, image_dev, mask_dev, strength=strength,
+                    None, image_dev, mask_dev, strength=strength,
                     num_inference_steps=steps, guidance_scale=guidance,
-                    negative_prompt=negative, rng=rng, scheduler=scheduler,
-                    lora_idx=lora_idx)
+                    rng=rng, scheduler=scheduler, lora_idx=lora_idx,
+                    prompt_embeds=emb, negative_prompt_embeds=neg)
         off = 0
         for p, n in zip(group, counts):
             p.images = imgs[off:off + n]

@@ -135,3 +135,59 @@ def test_xl_inpaint_keep_all_is_vae_roundtrip():
     out2 = pipe.inpaint("a dog", image, half, num_inference_steps=2,
                         guidance_scale=5.0, rng=rng)
     assert out2.shape == (1, 64, 64, 3) and np.isfinite(out2).all()
+
+
+def test_prompt_embeds_passthrough_matches_prompt_path(pipe):
+    """img2img / inpaint_blend with precomputed prompt_embeds (the serving
+    embed cache's passthrough) are bit-identical to the prompt-string
+    path."""
+    image, mask = _image_and_masks()
+    rng = jax.random.PRNGKey(4)
+    emb = pipe.encode_prompt(["a dog"])
+    neg = pipe.encode_prompt([""])
+    a = pipe.img2img("a dog", image, strength=1.0, num_inference_steps=3,
+                     guidance_scale=7.5, rng=rng)
+    b = pipe.img2img(None, image, strength=1.0, num_inference_steps=3,
+                     guidance_scale=7.5, rng=rng, prompt_embeds=emb,
+                     negative_prompt_embeds=neg)
+    np.testing.assert_array_equal(a, b)
+    a = pipe.inpaint_blend("a dog", image, mask, strength=1.0,
+                           num_inference_steps=3, guidance_scale=7.5,
+                           rng=rng, scheduler="euler")
+    b = pipe.inpaint_blend(None, image, mask, strength=1.0,
+                           num_inference_steps=3, guidance_scale=7.5,
+                           rng=rng, scheduler="euler", prompt_embeds=emb,
+                           negative_prompt_embeds=neg)
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="negative_prompt_embeds"):
+        pipe.inpaint_blend(None, image, mask, num_inference_steps=3,
+                           guidance_scale=7.5, prompt_embeds=emb)
+
+
+def test_xl_inpaint_prompt_embeds_passthrough():
+    from lora_tpu.models.config import (
+        TINY_XL_TEXT,
+        TINY_XL_TEXT2,
+        TINY_XL_UNET,
+    )
+    from lora_tpu.pipelines.sdxl import StableDiffusionXLPipeline
+
+    pipe = StableDiffusionXLPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_XL_UNET, text_cfg=TINY_XL_TEXT,
+        text2_cfg=TINY_XL_TEXT2, vae_cfg=TINY_VAE)
+    image, mask = _image_and_masks()
+    rng = jax.random.PRNGKey(4)
+    emb = pipe.encode_prompt_xl(["a dog"])
+    neg = pipe.encode_prompt_xl([""])
+    a = pipe.inpaint("a dog", image, mask, num_inference_steps=2,
+                     guidance_scale=5.0, rng=rng)
+    b = pipe.inpaint(None, image, mask, num_inference_steps=2,
+                     guidance_scale=5.0, rng=rng, prompt_embeds=emb,
+                     negative_prompt_embeds=neg)
+    np.testing.assert_array_equal(a, b)
+    a = pipe.img2img("a dog", image, strength=1.0, num_inference_steps=2,
+                     guidance_scale=5.0, rng=rng)
+    b = pipe.img2img(None, image, strength=1.0, num_inference_steps=2,
+                     guidance_scale=5.0, rng=rng, prompt_embeds=emb,
+                     negative_prompt_embeds=neg)
+    np.testing.assert_array_equal(a, b)

@@ -792,3 +792,16 @@ def test_nine_channel_inpaint_serving_routes_unet_path():
         assert rejected
     finally:
         srv.stop()
+
+
+def test_image_mode_uses_embed_cache(server):
+    """Image modes share the txt2img embed cache: a repeated img2img
+    request serves its prompt AND negative embedding from the cache."""
+    img = _rand_image_png(seed=21)
+    payload = {"mode": "img2img", "prompt": "a cached img2img prompt",
+               "image": img, "steps": 2, "strength": 1.0, "seed": 4}
+    out1, _ = _post(server, payload)
+    h0 = server.embed_cache_hits
+    out2, _ = _post(server, payload)
+    assert server.embed_cache_hits >= h0 + 2
+    assert out1["images"] == out2["images"]
