@@ -618,19 +618,39 @@ class PipelineServer:
             off += n
 
     def warmup(self, steps: int = 30, height: int = 512, width: int = 512,
-               guidance: float = 7.5, scheduler: str = "ddim") -> float:
+               guidance: float = 7.5, scheduler: str = "ddim",
+               modes: tuple = ("txt2img",), strength: float = 0.8) -> float:
         """Compile every bucketed batch shape up front (deploy-time warmup)
         so no live request ever pays an XLA compile — with bucketing this is
         a BOUNDED set of programs, which is the point of the buckets. Call
-        once per distinct sampling config you intend to serve. Returns the
-        wall seconds spent."""
+        once per distinct sampling config you intend to serve; include
+        "img2img"/"inpaint" in `modes` to warm the image-mode programs at
+        this size too (image-mode configs additionally key on strength,
+        and the init image pins the size — warm the sizes you will
+        actually receive). Returns the wall seconds spent."""
         t0 = time.monotonic()
-        for b in self.batch_buckets:
-            group = [_Pending({"prompt": f"warmup {i}", "steps": steps,
-                               "height": height, "width": width,
-                               "guidance": guidance, "scheduler": scheduler,
-                               "seed": i}) for i in range(b)]
-            self._run_group(group)
+        img = mask = None
+        if any(m != "txt2img" for m in modes):
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (width, height)).save(buf, format="PNG")
+            img = base64.b64encode(buf.getvalue()).decode()
+            buf = io.BytesIO()
+            Image.new("L", (width, height), 255).save(buf, format="PNG")
+            mask = base64.b64encode(buf.getvalue()).decode()
+        for mode in modes:
+            for b in self.batch_buckets:
+                group = [_Pending({"prompt": f"warmup {i}", "steps": steps,
+                                   "height": height, "width": width,
+                                   "guidance": guidance,
+                                   "scheduler": scheduler, "seed": i,
+                                   "mode": mode, "strength": strength,
+                                   "image": img,
+                                   "mask": (mask if mode == "inpaint"
+                                            else None)})
+                         for i in range(b)]
+                self._run_group(group)
         return time.monotonic() - t0
 
     def metrics(self) -> dict:
@@ -700,6 +720,10 @@ def main():
                          "pays the XLA compile)")
     ap.add_argument("--warmup_steps", type=int, default=30,
                     help="sampler steps used for the warmup config")
+    ap.add_argument("--warmup_modes", default="txt2img",
+                    help="comma-separated modes to warm "
+                         "(txt2img,img2img,inpaint); image modes warm at "
+                         "the default 512px size")
     args = ap.parse_args()
 
     import os as _os
@@ -724,9 +748,10 @@ def main():
     if not args.no_warmup:
         # compile every bucket before taking traffic — the whole point of
         # bucketing is that this set is bounded
-        spent = srv.warmup(steps=args.warmup_steps)
+        spent = srv.warmup(steps=args.warmup_steps,
+                           modes=tuple(args.warmup_modes.split(",")))
         print(f"warmup compiled buckets {srv.batch_buckets} "
-              f"in {spent:.1f}s")
+              f"({args.warmup_modes}) in {spent:.1f}s")
     srv.start()
     print(f"serving on :{srv.port}")
 

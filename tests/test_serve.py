@@ -805,3 +805,21 @@ def test_image_mode_uses_embed_cache(server):
     out2, _ = _post(server, payload)
     assert server.embed_cache_hits >= h0 + 2
     assert out1["images"] == out2["images"]
+
+
+def test_warmup_covers_image_modes(server):
+    """warmup(modes=(...,)) compiles the image-mode programs per bucket so
+    the first live img2img/inpaint request reuses a warmed shape."""
+    from lora_tpu.serve import PipelineServer
+
+    srv = PipelineServer(server.pipe, port=0, max_batch=2).start()
+    try:
+        secs = srv.warmup(steps=2, height=64, width=64,
+                          modes=("img2img", "inpaint"), strength=1.0)
+        assert secs > 0 and srv.last_device_batch == 2
+        out, status = _post(srv, {"mode": "img2img", "prompt": "live",
+                                  "image": _rand_image_png(), "steps": 2,
+                                  "strength": 1.0, "seed": 3})
+        assert status == 200 and len(out["images"]) == 1
+    finally:
+        srv.stop()
