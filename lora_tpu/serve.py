@@ -714,6 +714,10 @@ def main():
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--batch_window_ms", type=float, default=25.0)
     ap.add_argument("--max_queue", type=int, default=32)
+    ap.add_argument("--batch_buckets", default=None,
+                    help="comma-separated allowed device batch sizes "
+                         "(largest must equal --max_batch); default: "
+                         "powers of two up to max_batch")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip deploy-time compilation of the batch "
                          "buckets (first live request per bucket then "
@@ -744,7 +748,10 @@ def main():
         pipe.quantize_base()
     srv = PipelineServer(pipe, port=args.port, max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         max_queue=args.max_queue)
+                         max_queue=args.max_queue,
+                         batch_buckets=(tuple(
+                             int(b) for b in args.batch_buckets.split(","))
+                             if args.batch_buckets else None))
     if not args.no_warmup:
         # compile every bucket before taking traffic — the whole point of
         # bucketing is that this set is bounded
