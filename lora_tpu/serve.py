@@ -114,6 +114,11 @@ class ServerOverloaded(Exception):
     certain deadline misses."""
 
 
+class SchedulerDown(Exception):
+    """The micro-batching scheduler thread died (HTTP 500): the server can
+    no longer execute work and healthz reports unhealthy — restart it."""
+
+
 class _Pending:
     """One enqueued request awaiting its slot in a micro-batch."""
 
@@ -148,17 +153,25 @@ class _Pending:
                         "mode 'inpaint' requires a base64 PNG 'mask'")
                 self.mask = _b64_to_mask(req["mask"], self.n_rows,
                                          self.image.shape[1:3])
+        # compute the coalescing key NOW, inside the requester's thread:
+        # the int()/float() coercions reject malformed fields as a 400 at
+        # admit time. Deferring them to key() would crash the scheduler
+        # thread in _collect, silently hanging every later request.
+        try:
+            self._key = (
+                int(req.get("steps", 30)), float(req.get("guidance", 7.5)),
+                int(req.get("height", 512)), int(req.get("width", 512)),
+                req.get("scheduler", "ddim"), req.get("alpha"),
+                req.get("negative_prompt", ""),
+                req.get("lora_idx") is not None,
+                self.mode,
+                (float(req.get("strength", 0.8))
+                 if self.mode != "txt2img" else None))
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"malformed request field: {e}")
 
     def key(self):
-        r = self.req
-        return (int(r.get("steps", 30)), float(r.get("guidance", 7.5)),
-                int(r.get("height", 512)), int(r.get("width", 512)),
-                r.get("scheduler", "ddim"), r.get("alpha"),
-                r.get("negative_prompt", ""),
-                r.get("lora_idx") is not None,
-                self.mode,
-                (float(r.get("strength", 0.8))
-                 if self.mode != "txt2img" else None))
+        return self._key
 
 
 class PipelineServer:
@@ -222,6 +235,7 @@ class PipelineServer:
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._spill: Optional[_Pending] = None
+        self._fatal: Optional[BaseException] = None
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
         server_self = self
@@ -242,10 +256,14 @@ class PipelineServer:
                 if self.path == "/healthz":
                     import jax
 
-                    self._send(200, {"ok": True,
-                                     "draining": server_self.draining,
-                                     "devices": [str(d) for d in
-                                                 jax.devices()]})
+                    fatal = server_self._fatal
+                    self._send(500 if fatal is not None else 200,
+                               {"ok": fatal is None,
+                                "draining": server_self.draining,
+                                **({"fatal": repr(fatal)}
+                                   if fatal is not None else {}),
+                                "devices": [str(d) for d in
+                                            jax.devices()]})
                 elif self.path == "/metrics":
                     self._send(200, server_self.metrics())
                 else:
@@ -262,6 +280,8 @@ class PipelineServer:
                     self._send(200, out)
                 except ServerOverloaded as e:
                     self._send(503, {"error": str(e)})
+                except SchedulerDown as e:
+                    self._send(500, {"error": str(e)})
                 except Exception as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -281,6 +301,9 @@ class PipelineServer:
                 f"prompt list of {pending.n_rows} exceeds max_batch "
                 f"{self.max_batch}; split the request")
         self._check_image_mode(pending)
+        if self._fatal is not None:
+            raise SchedulerDown(
+                f"serving scheduler crashed: {self._fatal!r}")
         with self._shed_lock:
             if self.draining:
                 self.shed_count += 1
@@ -297,7 +320,14 @@ class PipelineServer:
             self.request_count += 1
             self._queued_rows += pending.n_rows
             self._queue.put(pending)
-        pending.done.wait()
+        # watchdog wait, not an untimed block: if the scheduler thread dies
+        # between our enqueue and its crash-drain, the fatal flag (set
+        # before waiters are failed) still wakes us within one tick
+        while not pending.done.wait(timeout=2.0):
+            if self._fatal is not None and pending.error is None \
+                    and not pending.done.is_set():
+                raise SchedulerDown(
+                    f"serving scheduler crashed: {self._fatal!r}")
         if pending.error is not None:
             raise pending.error
         with self._shed_lock:
@@ -388,23 +418,51 @@ class PipelineServer:
                            else 0.3 * seconds + 0.7 * self._exec_ewma)
 
     def _drain(self):
-        while True:
-            group = self._collect()
-            t0 = time.monotonic()
-            try:
-                self._run_group(group)
-                self._note_exec_time(time.monotonic() - t0)
-            except Exception as e:
-                for p in group:
-                    p.error = e
-            finally:
-                for p in group:
-                    p.batched_with = len(group)
-                    p.done.set()
-                with self._idle:
-                    self._inflight -= len(group)
-                    if self._inflight == 0:
-                        self._idle.notify_all()
+        import queue
+
+        try:
+            while True:
+                group = self._collect()
+                t0 = time.monotonic()
+                try:
+                    self._run_group(group)
+                    self._note_exec_time(time.monotonic() - t0)
+                except Exception as e:
+                    for p in group:
+                        p.error = e
+                finally:
+                    for p in group:
+                        p.batched_with = len(group)
+                        p.done.set()
+                    with self._idle:
+                        self._inflight -= len(group)
+                        if self._inflight == 0:
+                            self._idle.notify_all()
+        except BaseException as e:  # scheduler must never die SILENTLY:
+            # record the fatal state (healthz flips unhealthy, admits are
+            # refused) and fail every waiter so no request hangs forever
+            self._fatal = e
+            err = SchedulerDown(f"serving scheduler crashed: {e!r}")
+            stranded = [self._spill] if self._spill is not None else []
+            self._spill = None
+            while True:
+                try:
+                    stranded.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            for p in stranded:
+                p.error = err
+                p.done.set()
+            with self._idle:
+                self._inflight -= len(stranded)
+                self._idle.notify_all()
+            import sys
+            import traceback
+
+            print("lora_serve: FATAL scheduler crash "
+                  f"({len(stranded)} queued requests failed)",
+                  file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
 
     def _cached_embeds(self, texts: list, alpha) -> "np.ndarray":
         """Encode `texts`, serving repeats from the LRU cache (caller holds
@@ -672,6 +730,7 @@ class PipelineServer:
                                 if self._exec_ewma is not None else None),
                 "embed_cache_hits": self.embed_cache_hits,
                 "embed_cache_misses": self.embed_cache_misses,
+                "scheduler_alive": self._fatal is None,
             }
 
     def drain(self, timeout: Optional[float] = None) -> bool:

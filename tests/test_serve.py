@@ -823,3 +823,86 @@ def test_warmup_covers_image_modes(server):
         assert status == 200 and len(out["images"]) == 1
     finally:
         srv.stop()
+
+
+def test_malformed_numeric_field_rejected_at_admit(server):
+    """int()/float()-coercible fields are validated in the REQUESTER's
+    thread (400) — under lazy key() a {"steps": "abc"} request admitted to
+    the queue would crash the scheduler thread at coalescing time and hang
+    every later request behind a green healthz."""
+    for bad in ({"prompt": "x", "steps": "abc"},
+                {"prompt": "x", "guidance": "hot"},
+                {"prompt": "x", "height": "tall"}):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({**bad, "steps": bad.get("steps", 2)}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400, bad
+    # the scheduler survived admit-side rejection: work still flows
+    out, status = _post(server, {"prompt": "still alive", "steps": 2,
+                                 "height": 64, "width": 64, "seed": 9})
+    assert status == 200 and len(out["images"]) == 1
+    assert server.metrics()["scheduler_alive"] is True
+
+
+def test_scheduler_crash_fails_loudly_not_hangs(server):
+    """If the scheduler thread dies, waiters get SchedulerDown (not an
+    eternal hang), queued requests are failed, new admits are refused, and
+    healthz flips unhealthy — the crash is loud at every surface."""
+    import threading
+
+    from lora_tpu.serve import PipelineServer, SchedulerDown
+
+    srv = PipelineServer(server.pipe, port=0).start()
+    try:
+        release = threading.Event()
+
+        def boom():
+            release.wait(60)
+            raise RuntimeError("collector exploded")
+
+        srv._collect = boom
+        # the worker is blocked inside the ORIGINAL _collect; one request
+        # flows through it, after which the next loop iteration hits boom()
+        out = srv.generate({"prompt": "last good", "steps": 2,
+                            "height": 64, "width": 64, "seed": 1})
+        assert len(out["images"]) == 1
+
+        errs = {}
+
+        def waiter():
+            try:
+                srv.generate({"prompt": "stranded", "steps": 2,
+                              "height": 64, "width": 64})
+            except Exception as e:
+                errs["stranded"] = e
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        deadline = time.monotonic() + 30
+        while srv._queue.qsize() == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._queue.qsize() == 1  # queued, waiting on the scheduler
+        release.set()
+        t.join(timeout=30)
+        assert not t.is_alive(), "stranded waiter HUNG after scheduler death"
+        assert isinstance(errs["stranded"], SchedulerDown)
+        # new admits are refused with the same loud error
+        with pytest.raises(SchedulerDown):
+            srv.generate({"prompt": "after crash", "steps": 2})
+        assert srv.metrics()["scheduler_alive"] is False
+        # healthz reports unhealthy with HTTP 500
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/healthz", timeout=30)
+            code, body = 200, {}
+        except urllib.error.HTTPError as e:
+            code, body = e.code, json.loads(e.read())
+        assert code == 500 and body["ok"] is False
+        assert "collector exploded" in body["fatal"]
+    finally:
+        srv.stop()
