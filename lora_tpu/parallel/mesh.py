@@ -79,13 +79,73 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def multihost_barrier(name: str = "barrier") -> None:
+_BARRIER_SEQ: Dict[str, int] = {}
+
+
+def multihost_barrier(name: str = "barrier", timeout_s: float = 1800.0) -> None:
     """All processes wait here (no-op single-process) — e.g. non-main ranks
-    wait for main's class-image generation before building the dataset."""
+    wait for main's class-image generation before building the dataset.
+
+    Rides the coordination-service gRPC barrier, NOT an array collective:
+    `sync_global_devices` allgathers through the CPU/Gloo transport, whose
+    context handshake has a hard ~30 s timeout — a rank stuck in a long
+    compile (class-image generation is minutes on a cold cache) blows
+    straight past it and takes the whole group down. The service barrier
+    parks the waiters for up to `timeout_s` at zero cost. Barrier ids are
+    single-use in the coordination service, so each call gets a
+    per-name sequence suffix (all ranks execute the same barrier sequence,
+    keeping the suffix globally consistent)."""
     if jax.process_count() > 1:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            seq = _BARRIER_SEQ.get(name, 0)
+            _BARRIER_SEQ[name] = seq + 1
+            client.wait_at_barrier(f"lora_tpu:{name}:{seq}",
+                                   timeout_in_ms=int(timeout_s * 1000))
+            return
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def warm_collectives(mesh: Optional[Mesh]) -> None:
+    """Establish the cross-process collective transport while ranks are in
+    LOCKSTEP. CPU/Gloo contexts are created lazily at a collective's first
+    execution, with a hard ~30 s key-exchange window; deferred to the first
+    real train step, that window opens right after each rank's train-step
+    compile, and compile wall time skews across ranks (host contention,
+    per-rank compile-cache asymmetry) by more than the window. One process
+    allgather (the PreemptionCoordinator / sync-point context) and one
+    tiny all-device reduce (the training-psum context) here cost
+    milliseconds and are reused by every later collective. No-op
+    single-process; on TPU pods ICI channels need no handshake and this is
+    a cheap sanity ping."""
+    if mesh is None or jax.process_count() <= 1:
+        return
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("lora_tpu:warm_collectives")
+    n = int(mesh.devices.size)
+    sh = NamedSharding(mesh, P(mesh.axis_names))
+    arr = jax.make_array_from_callback(
+        (n,), sh, lambda idx: np.zeros((1,), np.float32))
+    out = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    jax.block_until_ready(out)
+    # Contexts are keyed by DEVICE GROUP, so the all-device reduce above
+    # does not cover single-axis collectives: a grad psum over dp in a
+    # dp x fsdp mesh runs one context per fsdp index (e.g. devices
+    # {1,3,...} spanning processes). One explicit psum per mesh axis
+    # creates exactly those groupings.
+    for ax in mesh.axis_names:
+        if mesh.shape[ax] == 1:
+            continue
+        rest = tuple(a for a in mesh.axis_names if a != ax)
+        f = jax.shard_map(lambda x, a=ax: jax.lax.psum(x, a), mesh=mesh,
+                          in_specs=P(mesh.axis_names), out_specs=P(rest))
+        jax.block_until_ready(jax.jit(f)(arr))
 
 
 class PreemptionCoordinator:

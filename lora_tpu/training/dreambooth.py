@@ -158,6 +158,10 @@ def train_dreambooth(pipe: StableDiffusionPipeline,
 
     mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
                                     cfg.tensor_parallel)
+    # ranks are in lockstep here (post-init / post-barrier); open the
+    # cross-process collective contexts NOW, not after the skew-prone
+    # train-step compile (parallel/mesh.warm_collectives)
+    mesh_lib.warm_collectives(mesh)
     dp = mesh_lib.data_parallel_size(mesh)
     # per-chip batch semantics: every chip sees train_batch_size examples
     global_batch = cfg.train_batch_size * dp

@@ -243,6 +243,7 @@ def train_pti(pipe: StableDiffusionPipeline, cfg: PTIConfig) -> dict:
 
     mesh = mesh_lib.mesh_from_flags(cfg.data_parallel, cfg.fsdp,
                                     cfg.tensor_parallel)
+    mesh_lib.warm_collectives(mesh)  # open Gloo/ICI contexts in lockstep
     dp = mesh_lib.data_parallel_size(mesh)
     global_batch = cfg.train_batch_size * dp  # per-chip batch semantics
 
