@@ -426,30 +426,52 @@ class DreamBoothDataset:
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch: overlaps host-side image decode/augment
     with device steps (the async input pipeline the reference gets from
-    torch DataLoader workers)."""
+    torch DataLoader workers).
+
+    The worker exits when the consumer abandons the generator (close/GC),
+    not only at iterator exhaustion: training loops run ENDLESS loaders,
+    and without the stop signal every finished run would leak a worker
+    blocked in q.put holding the dataset — and still decoding concurrently
+    with whatever runs next until the queue fills."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    stop_evt = threading.Event()
+
+    def guarded_put(item) -> bool:
+        while not stop_evt.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not guarded_put(item):
+                    return
         except Exception as e:  # surface errors to the consumer
-            q.put(("__error__", e))
-        q.put(stop)
+            guarded_put(("__error__", e))
+        guarded_put(stop)
 
-    t = threading.Thread(target=worker, daemon=True)
+    t = threading.Thread(target=worker, daemon=True,
+                         name="lora_tpu_prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] == "__error__"):
+                raise item[1]
+            yield item
+    finally:
+        stop_evt.set()
 
 
 def device_prefetch(iterator: Iterator, depth: int = 2,

@@ -128,6 +128,11 @@ class _Pending:
         self.images = None
         self.error: Optional[Exception] = None
         self.batched_with = 1
+        # crash-path accounting (guarded by the server's _shed_lock):
+        # _dequeued = _collect already took our rows off _queued_rows;
+        # _failed = a crash path already failed us (idempotence flag)
+        self._dequeued = False
+        self._failed = False
         self.t0 = time.monotonic()
         pr = req.get("prompt", "")
         self.n_rows = 1 if isinstance(pr, str) else len(pr)
@@ -153,17 +158,29 @@ class _Pending:
                         "mode 'inpaint' requires a base64 PNG 'mask'")
                 self.mask = _b64_to_mask(req["mask"], self.n_rows,
                                          self.image.shape[1:3])
-        # compute the coalescing key NOW, inside the requester's thread:
-        # the int()/float() coercions reject malformed fields as a 400 at
-        # admit time. Deferring them to key() would crash the scheduler
-        # thread in _collect, silently hanging every later request.
+        # coerce EVERY field the scheduler thread would otherwise touch NOW,
+        # inside the requester's thread: malformed fields are rejected as a
+        # 400 at admit time. Deferring any coercion to the scheduler would
+        # crash _drain's batch (failing innocent coalesced members) or, for
+        # key(), hang every later request.
         try:
+            self.seed = int(req.get("seed", 0))
+            li = req.get("lora_idx")
+            if li is None:
+                self.lora_idx: Optional[list] = None
+            else:
+                items = li if isinstance(li, list) else [li] * self.n_rows
+                if len(items) != self.n_rows:
+                    raise ValueError(
+                        f"'lora_idx' carries {len(items)} entries for "
+                        f"{self.n_rows} prompt rows")
+                self.lora_idx = [int(i) for i in items]
             self._key = (
                 int(req.get("steps", 30)), float(req.get("guidance", 7.5)),
                 int(req.get("height", 512)), int(req.get("width", 512)),
                 req.get("scheduler", "ddim"), req.get("alpha"),
                 req.get("negative_prompt", ""),
-                req.get("lora_idx") is not None,
+                self.lora_idx is not None,
                 self.mode,
                 (float(req.get("strength", 0.8))
                  if self.mode != "txt2img" else None))
@@ -291,6 +308,16 @@ class PipelineServer:
 
     def generate(self, req: dict) -> dict:
         t0 = time.perf_counter()
+        if req.get("mode", "txt2img") != "txt2img":
+            # cheap pre-check so an overloaded/draining server sheds image
+            # modes BEFORE paying their base64+PNG decode (the authoritative
+            # admit check below runs again after _Pending construction)
+            with self._shed_lock:
+                if self.draining or self._queued_rows >= self.max_queue:
+                    self.shed_count += 1
+                    raise ServerOverloaded(
+                        "server is draining or at max_queue; retry with "
+                        "backoff")
         pending = _Pending(req)
         if pending.n_rows < 1:
             # an empty prompt list would otherwise crash the whole coalesced
@@ -322,12 +349,16 @@ class PipelineServer:
             self._queue.put(pending)
         # watchdog wait, not an untimed block: if the scheduler thread dies
         # between our enqueue and its crash-drain, the fatal flag (set
-        # before waiters are failed) still wakes us within one tick
+        # before waiters are failed) still wakes us within one tick.
+        # _fail_stranded (idempotent with the crash-drain) also undoes our
+        # _inflight/_queued_rows accounting so SIGTERM drain() is not
+        # blocked by a request the dead scheduler will never pull.
         while not pending.done.wait(timeout=2.0):
-            if self._fatal is not None and pending.error is None \
-                    and not pending.done.is_set():
-                raise SchedulerDown(
-                    f"serving scheduler crashed: {self._fatal!r}")
+            if self._fatal is not None:
+                self._fail_stranded(pending, SchedulerDown(
+                    f"serving scheduler crashed: {self._fatal!r}"))
+                break
+        pending.done.wait()
         if pending.error is not None:
             raise pending.error
         with self._shed_lock:
@@ -337,19 +368,31 @@ class PipelineServer:
                 "batched_with": pending.batched_with}
 
     def _check_image_mode(self, pending: "_Pending") -> None:
-        """Reject image-mode requests whose sampler the routed pipeline
-        path cannot honor, at admit time (400) rather than mid-batch."""
+        """Reject requests whose mode the checkpoint or routed pipeline
+        path cannot honor, at admit time (400) rather than mid-batch —
+        an invalid member must never burn a device-batch slot and surface
+        as an opaque XLA shape error for the whole coalesced group."""
+        nine_ch = (not self._is_xl
+                   and getattr(self.pipe, "unet_cfg", None) is not None
+                   and self.pipe.unet_cfg.in_channels
+                   != self.pipe.unet_cfg.out_channels)
         if pending.mode == "txt2img":
+            if nine_ch:
+                raise ValueError(
+                    "this checkpoint's UNet is a 9-channel inpainting UNet; "
+                    "it serves mode='inpaint' only")
             return
         # reject sizes the UNet can't round-trip before they join a batch
         self.pipe._check_size(int(pending.image.shape[1]),
                               int(pending.image.shape[2]))
         sched = pending.req.get("scheduler", "ddim")
-        nine_ch = (not self._is_xl
-                   and self.pipe.unet_cfg.in_channels
-                   != self.pipe.unet_cfg.out_channels)
-        if pending.mode == "img2img" and sched != "ddim":
-            raise ValueError("img2img serving samples with ddim only")
+        if pending.mode == "img2img":
+            if nine_ch:
+                raise ValueError(
+                    "this checkpoint's UNet is a 9-channel inpainting UNet; "
+                    "img2img is not supported (use mode='inpaint')")
+            if sched != "ddim":
+                raise ValueError("img2img serving samples with ddim only")
         if pending.mode == "inpaint":
             if nine_ch:
                 if sched != "ddim":
@@ -387,6 +430,7 @@ class PipelineServer:
         group = [first]
         with self._shed_lock:  # first leaves the queue -> starts executing
             self._queued_rows -= first.n_rows
+            first._dequeued = True
         rows = first.n_rows
         window_end = time.monotonic() + self.batch_window
         # cap by ROW count, not request count: requests may carry prompt
@@ -406,6 +450,7 @@ class PipelineServer:
                 rows += nxt.n_rows
                 with self._shed_lock:
                     self._queued_rows -= nxt.n_rows
+                    nxt._dequeued = True
             else:
                 # the spill stays logically queued (it seeds the next batch),
                 # so its rows remain counted against max_queue
@@ -416,6 +461,25 @@ class PipelineServer:
     def _note_exec_time(self, seconds: float) -> None:
         self._exec_ewma = (seconds if self._exec_ewma is None
                            else 0.3 * seconds + 0.7 * self._exec_ewma)
+
+    def _fail_stranded(self, p: "_Pending", err: Exception) -> None:
+        """Fail a pending the dead scheduler will never pull, undoing its
+        admit-time accounting exactly once. Idempotent: callable from both
+        the crash-drain and a waiter's watchdog without double-counting
+        (the race window is a request enqueued while the crash-drain runs).
+        Skips requests already completed or already in a cut group (whose
+        rows _collect took off _queued_rows and whose _inflight the group
+        finally-block settles)."""
+        with self._idle:  # _idle shares _shed_lock
+            if p.done.is_set() or p._failed:
+                return
+            p._failed = True
+            if not p._dequeued:
+                self._queued_rows -= p.n_rows
+            self._inflight -= 1
+            self._idle.notify_all()
+        p.error = err
+        p.done.set()
 
     def _drain(self):
         import queue
@@ -430,6 +494,15 @@ class PipelineServer:
                 except Exception as e:
                     for p in group:
                         p.error = e
+                except BaseException as e:
+                    # a BaseException (SystemExit, KeyboardInterrupt...) is
+                    # about to kill the scheduler: the in-flight group must
+                    # see the same SchedulerDown contract as queued waiters,
+                    # not a silent done.set() with images=None
+                    for p in group:
+                        p.error = SchedulerDown(
+                            f"serving scheduler crashed: {e!r}")
+                    raise
                 finally:
                     for p in group:
                         p.batched_with = len(group)
@@ -451,11 +524,7 @@ class PipelineServer:
                 except queue.Empty:
                     break
             for p in stranded:
-                p.error = err
-                p.done.set()
-            with self._idle:
-                self._inflight -= len(stranded)
-                self._idle.notify_all()
+                self._fail_stranded(p, err)
             import sys
             import traceback
 
@@ -516,6 +585,38 @@ class PipelineServer:
                          or self.pipe.has_base_deltas("text_encoder_2"))
         return (gen, self._current_alpha) if has_text_lora else (gen, None)
 
+    def _assemble_rows(self, group: list):
+        """Flatten a coalesced group into device-batch rows. Returns
+        (prompts, counts, lora_idx, pad): the flattened prompt rows padded
+        up to the chosen bucket (replicating the last row; its outputs are
+        discarded), per-request row counts for scatter-back, the merged
+        per-row adapter routing (admit-time-validated `_Pending.lora_idx`,
+        None unless every member routes — key() already keeps routed and
+        unrouted requests apart), and the pad count. Shared by the txt2img
+        and image-mode paths so batch-size bucketing (one XLA program per
+        bucket — a cold compile of an odd coalesced size stalls the whole
+        line) and routing cannot drift between them."""
+        prompts, counts = [], []
+        lora_idx: Optional[list] = []
+        for p in group:
+            pr = p.req.get("prompt", "")
+            pr = [pr] if isinstance(pr, str) else list(pr)
+            prompts += pr
+            counts.append(len(pr))
+            if lora_idx is not None and p.lora_idx is not None:
+                lora_idx += p.lora_idx
+            else:
+                lora_idx = None
+        n_real = len(prompts)
+        bucket = next((b for b in self.batch_buckets if b >= n_real), n_real)
+        self.last_device_batch = bucket
+        pad = bucket - n_real
+        if pad:
+            prompts += [prompts[-1]] * pad
+            if lora_idx is not None:
+                lora_idx += [lora_idx[-1]] * pad
+        return prompts, counts, lora_idx, pad
+
     def _run_group(self, group: list):
         import jax
         import jax.numpy as jnp
@@ -525,38 +626,14 @@ class PipelineServer:
             return
         r0 = group[0].req
         height, width = int(r0.get("height", 512)), int(r0.get("width", 512))
-        prompts, latents, counts = [], [], []
-        lora_idx: Optional[list] = []
-        for p in group:
-            pr = p.req.get("prompt", "")
-            pr = [pr] if isinstance(pr, str) else list(pr)
-            prompts += pr
-            counts.append(len(pr))
-            latents.append(self.pipe.prepare_latents(
-                len(pr), height, width,
-                jax.random.PRNGKey(int(p.req.get("seed", 0)))))
-            li = p.req.get("lora_idx")
-            if lora_idx is not None and li is not None:
-                lora_idx += [int(i) for i in (li if isinstance(li, list)
-                                              else [li] * len(pr))]
-            else:
-                lora_idx = None
+        prompts, counts, lora_idx, pad = self._assemble_rows(group)
+        latents = [self.pipe.prepare_latents(
+            n, height, width, jax.random.PRNGKey(p.seed))
+            for p, n in zip(group, counts)]
         guidance = float(r0.get("guidance", 7.5))
         negative = r0.get("negative_prompt", "")
-        # batch-size bucketing: XLA compiles one program per batch size, and
-        # a cold compile of an odd coalesced size (3, 5, 6, 7...) stalls the
-        # whole line for minutes on first occurrence. Pad to the next bucket
-        # (replicating the last row; its outputs are discarded) so only
-        # len(buckets) shapes ever compile.
-        n_real = len(prompts)
-        bucket = next((b for b in self.batch_buckets if b >= n_real), n_real)
-        self.last_device_batch = bucket
-        pad = bucket - n_real
         if pad:
-            prompts += [prompts[-1]] * pad
             latents.append(jnp.repeat(latents[-1][-1:], pad, axis=0))
-            if lora_idx is not None:
-                lora_idx += [lora_idx[-1]] * pad
         with self.lock:
             alpha = r0.get("alpha")
             if alpha is not None:
@@ -597,43 +674,23 @@ class PipelineServer:
 
         r0 = group[0].req
         mode = group[0].mode
-        prompts, images, masks, counts = [], [], [], []
-        lora_idx: Optional[list] = []
-        for p in group:
-            pr = p.req.get("prompt", "")
-            pr = [pr] if isinstance(pr, str) else list(pr)
-            prompts += pr
-            counts.append(len(pr))
-            images.append(p.image)
-            if p.mask is not None:
-                masks.append(p.mask)
-            li = p.req.get("lora_idx")
-            if lora_idx is not None and li is not None:
-                lora_idx += [int(i) for i in (li if isinstance(li, list)
-                                              else [li] * len(pr))]
-            else:
-                lora_idx = None
-        n_real = len(prompts)
-        bucket = next((b for b in self.batch_buckets if b >= n_real), n_real)
-        self.last_device_batch = bucket
-        pad = bucket - n_real
+        prompts, counts, lora_idx, pad = self._assemble_rows(group)
+        images = [p.image for p in group]
+        masks = [p.mask for p in group if p.mask is not None]
         imgs_np = np.concatenate(images, 0)
         masks_np = np.concatenate(masks, 0) if masks else None
         if pad:
-            prompts += [prompts[-1]] * pad
             imgs_np = np.concatenate(
                 [imgs_np, np.repeat(imgs_np[-1:], pad, 0)], 0)
             if masks_np is not None:
                 masks_np = np.concatenate(
                     [masks_np, np.repeat(masks_np[-1:], pad, 0)], 0)
-            if lora_idx is not None:
-                lora_idx += [lora_idx[-1]] * pad
         steps = int(r0.get("steps", 30))
         guidance = float(r0.get("guidance", 7.5))
         negative = r0.get("negative_prompt", "")
         strength = float(r0.get("strength", 0.8))
         scheduler = r0.get("scheduler", "ddim")
-        rng = jax.random.PRNGKey(int(r0.get("seed", 0)))
+        rng = jax.random.PRNGKey(group[0].seed)
         image_dev = jnp.asarray(imgs_np)
         mask_dev = None if masks_np is None else jnp.asarray(masks_np)
         with self.lock:
@@ -698,6 +755,13 @@ class PipelineServer:
             Image.new("L", (width, height), 255).save(buf, format="PNG")
             mask = base64.b64encode(buf.getvalue()).decode()
         for mode in modes:
+            # fail a mode the checkpoint cannot serve LOUDLY at deploy time
+            # (e.g. txt2img warmup on a 9-channel inpainting checkpoint),
+            # with the same message a live request would get at admit
+            self._check_image_mode(_Pending(
+                {"prompt": "warmup probe", "mode": mode, "image": img,
+                 "mask": mask if mode == "inpaint" else None,
+                 "scheduler": scheduler, "strength": strength}))
             for b in self.batch_buckets:
                 group = [_Pending({"prompt": f"warmup {i}", "steps": steps,
                                    "height": height, "width": width,
@@ -788,6 +852,24 @@ def main():
                          "(txt2img,img2img,inpaint); image modes warm at "
                          "the default 512px size")
     args = ap.parse_args()
+    # parse/validate the comma-separated lists up front: a natural
+    # "txt2img, img2img" or "1, 2" must not crash after model load with an
+    # unrelated-looking error from deep inside warmup
+    try:
+        buckets = (tuple(int(b.strip())
+                         for b in args.batch_buckets.split(",") if b.strip())
+                   if args.batch_buckets else None)
+    except ValueError:
+        ap.error(f"--batch_buckets: expected comma-separated ints, got "
+                 f"{args.batch_buckets!r}")
+    warm_modes = tuple(m.strip()
+                       for m in args.warmup_modes.split(",") if m.strip())
+    for m in warm_modes:
+        if m not in ("txt2img", "img2img", "inpaint"):
+            ap.error(f"--warmup_modes: unknown mode {m!r}; expected "
+                     "txt2img | img2img | inpaint")
+    if not warm_modes and not args.no_warmup:
+        ap.error("--warmup_modes is empty; pass --no_warmup to skip warmup")
 
     import os as _os
 
@@ -808,14 +890,11 @@ def main():
     srv = PipelineServer(pipe, port=args.port, max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
                          max_queue=args.max_queue,
-                         batch_buckets=(tuple(
-                             int(b) for b in args.batch_buckets.split(","))
-                             if args.batch_buckets else None))
+                         batch_buckets=buckets)
     if not args.no_warmup:
         # compile every bucket before taking traffic — the whole point of
         # bucketing is that this set is bounded
-        spent = srv.warmup(steps=args.warmup_steps,
-                           modes=tuple(args.warmup_modes.split(",")))
+        spent = srv.warmup(steps=args.warmup_steps, modes=warm_modes)
         print(f"warmup compiled buckets {srv.batch_buckets} "
               f"({args.warmup_modes}) in {spent:.1f}s")
     srv.start()

@@ -279,3 +279,39 @@ def test_loader_collates_geometry_with_prior(tmp_path, tok):
     np.testing.assert_array_equal(g[0], g[1])  # both instance rows = a.jpg
     np.testing.assert_array_equal(g[0][:2], [60, 90])
     np.testing.assert_array_equal(g[2][:2], [90, 60])  # class rows = b.jpg
+
+
+def test_prefetch_worker_stops_when_consumer_abandons():
+    """Training loops run ENDLESS loaders through prefetch; abandoning the
+    generator (what every finished training run does when it drops the
+    loader) must stop the worker thread. Before the stop signal, each run
+    leaked a worker blocked in q.put that kept decoding concurrently with
+    whatever ran next until its queue filled."""
+    import itertools
+    import threading
+    import time
+
+    from lora_tpu.data.dataset import prefetch
+
+    def workers():
+        return [t for t in threading.enumerate()
+                if t.name.startswith("lora_tpu_prefetch") and t.is_alive()]
+
+    produced = []
+
+    def endless():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    it = prefetch(endless(), depth=2)
+    assert [next(it) for _ in range(3)] == [0, 1, 2]
+    assert len(workers()) >= 1
+    it.close()  # what GC does to an abandoned generator
+    deadline = time.monotonic() + 5
+    while workers() and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert not workers(), "prefetch worker thread leaked after close()"
+    n = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n, "worker kept consuming after close()"

@@ -906,3 +906,193 @@ def test_scheduler_crash_fails_loudly_not_hangs(server):
         assert "collector exploded" in body["fatal"]
     finally:
         srv.stop()
+
+
+def test_lora_idx_and_seed_validated_at_admit(server):
+    """lora_idx length/type and seed are coerced in the REQUESTER's thread:
+    a mis-sized lora_idx list would silently misalign per-row adapter
+    routing for every later member of the coalesced batch, and a malformed
+    seed deferred to the scheduler would 400 innocent coalesced members."""
+    for bad in ({"prompt": ["a", "b"], "lora_idx": [0]},      # 1 for 2 rows
+                {"prompt": "x", "lora_idx": ["zero"]},        # non-int
+                {"prompt": "x", "lora_idx": "zero"},          # non-int scalar
+                {"prompt": "x", "seed": "abc"}):              # non-int seed
+        with pytest.raises(ValueError):
+            server.generate({"steps": 2, "height": 64, "width": 64, **bad})
+    # rejection happened at admit: nothing queued, nothing in flight
+    m = server.metrics()
+    assert m["queued_rows"] == 0 and m["inflight"] == 0
+    out, status = _post(server, {"prompt": "alive", "steps": 2,
+                                 "height": 64, "width": 64, "seed": 5})
+    assert status == 200 and len(out["images"]) == 1
+
+
+def test_nine_channel_checkpoint_rejects_wrong_modes_at_admit():
+    """A 9-channel inpainting checkpoint serves mode='inpaint' ONLY:
+    txt2img/img2img must 400 at admit (and warmup must fail loudly at
+    deploy time), never burn a device-batch slot and surface as an opaque
+    XLA conv-shape error for the whole coalesced group."""
+    import dataclasses
+
+    inpaint_cfg = dataclasses.replace(TINY_UNET, in_channels=9)
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=inpaint_cfg, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0)
+    try:
+        with pytest.raises(ValueError, match="9-channel"):
+            srv.generate({"prompt": "x", "steps": 2})
+        with pytest.raises(ValueError, match="9-channel"):
+            srv.generate({"mode": "img2img", "prompt": "x", "steps": 2,
+                          "image": _rand_image_png()})
+        with pytest.raises(ValueError, match="9-channel"):
+            srv.warmup(steps=2, height=64, width=64, modes=("txt2img",))
+        m = srv.metrics()
+        assert m["queued_rows"] == 0 and m["inflight"] == 0
+    finally:
+        srv.stop()
+
+
+def test_image_modes_shed_before_decode(server, monkeypatch):
+    """A draining/overloaded server sheds image-mode requests BEFORE paying
+    their base64+PNG decode — backpressure must stay cheap under burst."""
+    import lora_tpu.serve as serve_mod
+    from lora_tpu.serve import ServerOverloaded
+
+    def boom(*a, **k):
+        raise AssertionError("image decode ran before the shed check")
+
+    srv = PipelineServer(server.pipe, port=0)
+    try:
+        monkeypatch.setattr(serve_mod, "_b64_to_image", boom)
+        srv.draining = True
+        with pytest.raises(ServerOverloaded):
+            srv.generate({"mode": "img2img", "prompt": "x", "steps": 2,
+                          "image": _rand_image_png(), "strength": 1.0})
+        srv.draining = False
+        srv.max_queue = 0  # queued_rows >= max_queue trips immediately
+        with pytest.raises(ServerOverloaded):
+            srv.generate({"mode": "inpaint", "prompt": "x", "steps": 2,
+                          "image": _rand_image_png(), "mask": _mask_png()})
+        assert srv.shed_count == 2
+    finally:
+        srv.stop()
+
+
+def test_crash_restores_accounting_and_drain_unblocks():
+    """After a scheduler crash every stranded request's admit-time
+    accounting is undone — /metrics queued_rows returns to 0 and the
+    SIGTERM drain() returns immediately instead of blocking its full
+    timeout on requests the dead scheduler will never pull. Also covers
+    the enqueue race: a request admitted in the window between the fatal
+    flag being set and checked is reaped by its own watchdog tick."""
+    import threading
+
+    from lora_tpu.serve import PipelineServer, SchedulerDown, _Pending
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0)
+    try:
+        release = threading.Event()
+
+        def boom():
+            release.wait(60)
+            raise RuntimeError("collector exploded")
+
+        srv._collect = boom
+        # the worker is blocked inside the ORIGINAL _collect; one request
+        # flows through it, after which the next loop iteration hits boom()
+        out = srv.generate({"prompt": "last good", "steps": 2,
+                            "height": 64, "width": 64, "seed": 1})
+        assert len(out["images"]) == 1
+        errs = {}
+
+        def waiter(name):
+            try:
+                srv.generate({"prompt": name, "steps": 2,
+                              "height": 64, "width": 64})
+            except Exception as e:
+                errs[name] = e
+
+        t1 = threading.Thread(target=waiter, args=("stranded",))
+        t1.start()
+        deadline = time.monotonic() + 30
+        while srv._queue.qsize() == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv.metrics()["queued_rows"] == 1
+        release.set()
+        t1.join(timeout=30)
+        assert isinstance(errs["stranded"], SchedulerDown)
+        m = srv.metrics()
+        assert m["queued_rows"] == 0, "crash-drain leaked queued_rows"
+        assert m["inflight"] == 0, "crash-drain leaked inflight"
+        # enqueue race: slip a request past the fatal check the way a
+        # thread that read _fatal just before the crash would
+        fatal, srv._fatal = srv._fatal, None
+        t2 = threading.Thread(target=waiter, args=("racer",))
+        t2.start()
+        deadline = time.monotonic() + 30
+        while srv._queue.qsize() == 0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv.metrics()["inflight"] == 1
+        srv._fatal = fatal
+        t2.join(timeout=30)  # watchdog tick is 2 s
+        assert not t2.is_alive(), "racer HUNG on a dead scheduler"
+        assert isinstance(errs["racer"], SchedulerDown)
+        m = srv.metrics()
+        assert m["queued_rows"] == 0 and m["inflight"] == 0
+        assert srv.drain(timeout=5) is True, (
+            "drain() blocked on requests the dead scheduler will never pull")
+    finally:
+        srv.stop()
+
+
+def test_base_exception_in_group_gets_scheduler_down():
+    """A BaseException escaping _run_group must give the IN-FLIGHT group
+    the same SchedulerDown contract as queued waiters — not a silent
+    done.set() with images=None that surfaces as a client-side 400
+    TypeError."""
+    from lora_tpu.serve import PipelineServer, SchedulerDown
+
+    pipe = StableDiffusionPipeline.random_init(
+        jax.random.PRNGKey(0), unet_cfg=TINY_UNET, text_cfg=TINY_TEXT,
+        vae_cfg=TINY_VAE)
+    srv = PipelineServer(pipe, port=0)
+    try:
+        def boom(group):
+            raise SystemExit("operator pulled the plug")
+
+        srv._run_group = boom
+        with pytest.raises(SchedulerDown):
+            srv.generate({"prompt": "inflight", "steps": 2,
+                          "height": 64, "width": 64})
+        m = srv.metrics()
+        assert m["scheduler_alive"] is False
+        assert m["queued_rows"] == 0 and m["inflight"] == 0
+        assert srv.drain(timeout=5) is True
+    finally:
+        srv.stop()
+
+
+def test_serve_cli_list_flags_validated_before_model_load():
+    """--batch_buckets / --warmup_modes are parsed (with whitespace strip)
+    and validated at argparse time: a typo exits 2 with a pointed message
+    instead of crashing after minutes of model load + warmup."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "lora_tpu.serve", "--model", "/nonexistent",
+         "--batch_buckets", "1, x"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 2
+    assert "comma-separated ints" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "lora_tpu.serve", "--model", "/nonexistent",
+         "--warmup_modes", " txt2img , badmode"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 2
+    # the stripped name appears — proving ' txt2img ' itself passed
+    assert "unknown mode 'badmode'" in r.stderr
