@@ -62,6 +62,28 @@ def test_flash_grads_match_xla():
                                    atol=5e-4)
 
 
+def test_flash_xl_headdim_fwd_bwd():
+    # D=64 (SDXL 10/20-head blocks): fwd + grads at the XL head dim
+    q, k, v = make_qkv(T=256, S=256, D=64, seed=7)
+    scale = 64 ** -0.5
+    ref = _xla_attention(q, k, v, scale, None)
+    out = flash_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3,
+                               atol=2e-4)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale, None) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=5e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
                     reason="compiles the real kernels; TPU lane only")
 def test_flash_f32_full_size_fits_vmem():
